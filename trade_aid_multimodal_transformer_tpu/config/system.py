@@ -1,0 +1,300 @@
+"""System configuration: training/model hyperparameters from ``config.yaml``.
+
+Capability parity with the reference config manager
+(reference: config_manager.py:30-432). Field names, nesting, defaults, and
+validation rules are preserved exactly so existing ``config.yaml`` files work
+unchanged; the only semantic extension is the ``device`` field, which on this
+framework accepts ``'tpu' | 'cpu' | 'auto'`` (``'cuda'`` is tolerated and
+treated as ``'auto'`` so reference configs keep working; reference device
+handling: compatibility_layer.py:124-126).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Union
+
+import yaml
+
+from .schema import SchemaManager
+
+logger = logging.getLogger(__name__)
+
+# Defaults pinned by the reference (reference: config_manager.py:112-145).
+_DEFAULT_FIXED_VALUES = [-0.5, -0.2, -0.1, 0, 0.1, 0.2, 0.5]
+
+
+@dataclass
+class SystemConfig:
+    """Flat view of ``config.yaml`` (reference: config_manager.py:30-98)."""
+
+    # Project settings
+    project_file_path: str
+    output_file_name: str
+    model_file_name: str
+    create_new_model: bool
+    save_model: bool
+    device: str
+
+    # Data splitting
+    validation_size: float
+    num_validation_files: int
+
+    # Training parameters
+    batch_size: int
+    block_size: int
+    max_iters: int
+    eval_interval: int
+    eval_iters: int
+    learning_rate: float
+
+    # Model architecture
+    n_embd: int
+    n_head: int
+    n_layer: int
+    dropout: float
+    fixed_values: List[float]
+
+    def __post_init__(self):
+        """Validation rules pinned by the reference (config_manager.py:60-98)."""
+        project_path = Path(self.project_file_path)
+        if not project_path.exists():
+            raise FileNotFoundError(f"Project path does not exist: {project_path}")
+
+        if not 0.0 <= self.validation_size <= 1.0:
+            raise ValueError(
+                f"validation_size must be between 0.0 and 1.0, got {self.validation_size}"
+            )
+        if self.num_validation_files < 0:
+            raise ValueError("num_validation_files must be non-negative")
+
+        for name in ("batch_size", "block_size", "max_iters", "eval_interval"):
+            if getattr(self, name) <= 0:
+                raise ValueError(f"{name} must be positive")
+        if self.learning_rate <= 0:
+            raise ValueError("learning_rate must be positive")
+
+        for name in ("n_embd", "n_head", "n_layer"):
+            if getattr(self, name) <= 0:
+                raise ValueError(f"{name} must be positive")
+        if not 0.0 <= self.dropout <= 1.0:
+            raise ValueError(f"dropout must be between 0.0 and 1.0, got {self.dropout}")
+
+        if not isinstance(self.fixed_values, list) or not self.fixed_values:
+            raise ValueError("fixed_values must be a non-empty list")
+        for i, val in enumerate(self.fixed_values):
+            if not isinstance(val, (int, float)):
+                raise ValueError(
+                    f"fixed_values[{i}] must be a number, got {type(val).__name__}"
+                )
+
+        if self.device not in ["cpu", "tpu", "cuda", "auto"]:
+            logger.warning(
+                f"Device '{self.device}' may not be supported. "
+                "Common values: 'cpu', 'tpu', 'auto'"
+            )
+
+    @classmethod
+    def from_dict(cls, config_dict: Dict[str, Any]) -> "SystemConfig":
+        """Flatten the nested YAML structure with reference defaults
+        (reference: config_manager.py:100-147)."""
+        config_dict = config_dict or {}
+        project = config_dict.get("project_settings", {})
+        splitting = config_dict.get("data_splitting", {})
+        training = config_dict.get("training_parameters", {})
+        arch = config_dict.get("model_architecture", {})
+        return cls(
+            project_file_path=project.get("project_file_path", ""),
+            output_file_name=project.get("output_file_name", "training_log.txt"),
+            model_file_name=project.get("model_file_name", "model.pth"),
+            create_new_model=bool(project.get("create_new_model", 1)),
+            save_model=bool(project.get("save_model", 1)),
+            device=project.get("device", "cpu"),
+            validation_size=splitting.get("validation_size", 0.1),
+            num_validation_files=splitting.get("num_validation_files", 0),
+            batch_size=training.get("batch_size", 32),
+            block_size=training.get("block_size", 64),
+            max_iters=training.get("max_iters", 5000),
+            eval_interval=training.get("eval_interval", 500),
+            eval_iters=training.get("eval_iters", 40),
+            learning_rate=training.get("learning_rate", 3e-4),
+            n_embd=arch.get("n_embd", 384),
+            n_head=arch.get("n_head", 6),
+            n_layer=arch.get("n_layer", 6),
+            dropout=arch.get("dropout", 0.2),
+            fixed_values=arch.get("fixed_values", list(_DEFAULT_FIXED_VALUES)),
+        )
+
+    def to_dict(self) -> Dict[str, Any]:
+        """Re-nest into the YAML structure (reference: config_manager.py:149-183)."""
+        return {
+            "project_settings": {
+                "project_file_path": self.project_file_path,
+                "output_file_name": self.output_file_name,
+                "model_file_name": self.model_file_name,
+                "create_new_model": int(self.create_new_model),
+                "save_model": int(self.save_model),
+                "device": self.device,
+            },
+            "data_splitting": {
+                "validation_size": self.validation_size,
+                "num_validation_files": self.num_validation_files,
+            },
+            "training_parameters": {
+                "batch_size": self.batch_size,
+                "block_size": self.block_size,
+                "max_iters": self.max_iters,
+                "eval_interval": self.eval_interval,
+                "eval_iters": self.eval_iters,
+                "learning_rate": self.learning_rate,
+            },
+            "model_architecture": {
+                "n_embd": self.n_embd,
+                "n_head": self.n_head,
+                "n_layer": self.n_layer,
+                "dropout": self.dropout,
+                "fixed_values": self.fixed_values,
+            },
+        }
+
+
+def resolve_device(device: str) -> str:
+    """Resolve the configured device to a concrete JAX platform name.
+
+    ``'auto'`` (and the reference's ``'cuda'``) pick the best available
+    backend: TPU when present, else CPU (reference device auto-detect:
+    compatibility_layer.py:124-126).
+    """
+    if device in ("auto", "cuda"):
+        import jax
+
+        try:
+            backend = jax.default_backend()
+        except Exception:  # pragma: no cover - no backend at all
+            backend = "cpu"
+        return "cpu" if backend == "cpu" else "tpu"
+    return device
+
+
+class ConfigManager:
+    """Loads + validates ``config.yaml`` and ``input_schemas.yaml``
+    (reference: config_manager.py:186-409)."""
+
+    def __init__(self, config_dir: Optional[Union[str, Path]] = None):
+        self.config_dir = Path(config_dir) if config_dir else Path.cwd()
+        self.schema_manager = SchemaManager()
+        self.system_config: Optional[SystemConfig] = None
+        self.input_schemas_path = self.config_dir / "input_schemas.yaml"
+        self.system_config_path = self.config_dir / "config.yaml"
+
+    def load_all_configs(self) -> None:
+        logger.info("Loading all configuration files...")
+        try:
+            self.load_system_config()
+            self.load_input_schemas()
+            self.validate_all_functions()
+        except Exception as e:
+            error_msg = f"Configuration loading failed: {e}"
+            logger.error(error_msg)
+            raise RuntimeError(error_msg)
+
+    def load_system_config(
+        self, file_path: Optional[Union[str, Path]] = None
+    ) -> SystemConfig:
+        config_path = Path(file_path) if file_path else self.system_config_path
+        if not config_path.exists():
+            raise FileNotFoundError(f"System config file not found: {config_path}")
+        try:
+            with open(config_path, "r") as f:
+                config_data = yaml.safe_load(f)
+            self.system_config = SystemConfig.from_dict(config_data)
+            return self.system_config
+        except yaml.YAMLError as e:
+            raise ValueError(f"Invalid YAML in system config file: {e}")
+        except (FileNotFoundError, ValueError):
+            raise
+        except Exception as e:
+            raise RuntimeError(f"Failed to load system config: {e}")
+
+    def load_input_schemas(
+        self, file_path: Optional[Union[str, Path]] = None
+    ) -> SchemaManager:
+        schemas_path = Path(file_path) if file_path else self.input_schemas_path
+        if not schemas_path.exists():
+            raise FileNotFoundError(f"Input schemas file not found: {schemas_path}")
+        try:
+            self.schema_manager.load_from_yaml(schemas_path)
+            return self.schema_manager
+        except yaml.YAMLError as e:
+            raise ValueError(f"Invalid YAML in input schemas file: {e}")
+        except SystemExit:
+            raise
+        except Exception as e:
+            raise RuntimeError(f"Failed to load input schemas: {e}")
+
+    def save_system_config(self, file_path: Optional[Union[str, Path]] = None) -> None:
+        if not self.system_config:
+            raise RuntimeError("No system configuration loaded to save")
+        config_path = Path(file_path) if file_path else self.system_config_path
+        with open(config_path, "w") as f:
+            yaml.dump(self.system_config.to_dict(), f, default_flow_style=False, sort_keys=False)
+
+    def save_input_schemas(self, file_path: Optional[Union[str, Path]] = None) -> None:
+        schemas_path = Path(file_path) if file_path else self.input_schemas_path
+        self.schema_manager.save_to_yaml(schemas_path)
+
+    def validate_all_functions(self) -> None:
+        """Startup validation of every enabled step's function
+        (reference: config_manager.py:329-344)."""
+        from .registry import validate_function_exists
+
+        errors = []
+        for schema in self.schema_manager.schemas:
+            for step in schema.processing_steps:
+                if step.enabled and not validate_function_exists(step.function):
+                    errors.append(
+                        f"Modality '{schema.modality_name}': "
+                        f"Function '{step.function}' cannot be resolved"
+                    )
+        if errors:
+            raise ImportError(
+                "Function validation failed:\n"
+                + "\n".join(f"  - {e}" for e in errors)
+            )
+
+    def get_config_summary(self) -> Dict[str, Any]:
+        """Summary dict for debugging (reference: config_manager.py:346-385)."""
+        summary: Dict[str, Any] = {
+            "system_config_loaded": self.system_config is not None,
+            "input_schemas_loaded": len(self.schema_manager.schemas) > 0,
+            "total_modalities": len(self.schema_manager.schemas),
+            "config_files": {
+                "system_config_path": str(self.system_config_path),
+                "input_schemas_path": str(self.input_schemas_path),
+                "system_config_exists": self.system_config_path.exists(),
+                "input_schemas_exists": self.input_schemas_path.exists(),
+            },
+        }
+        if self.system_config:
+            sc = self.system_config
+            summary["system_config"] = {
+                "device": sc.device,
+                "batch_size": sc.batch_size,
+                "max_iters": sc.max_iters,
+                "n_embd": sc.n_embd,
+                "n_head": sc.n_head,
+                "n_layer": sc.n_layer,
+                "fixed_values": len(sc.fixed_values),
+            }
+        if self.schema_manager.schemas:
+            summary["modalities"] = [
+                {
+                    "name": s.modality_name,
+                    "processing_steps": len(s.processing_steps),
+                    "cross_attention": s.cross_attention,
+                }
+                for s in self.schema_manager.schemas
+            ]
+        return summary

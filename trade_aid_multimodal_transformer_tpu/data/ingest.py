@@ -1,0 +1,148 @@
+"""Canonical main-path modality ingestion: load once, process each enabled
+step exactly once, with the reference entry-script's defaults and per-file
+percent semantics.
+
+This is the single entry the training runner uses per modality. It subsumes
+what the reference spreads across file_cache.load_file_data_cached (percent
+inside the loader, reference: file_cache.py:298-325) and main.py's inline
+transform calls (reference: main.py:116-207), and additionally executes
+external registry functions in declared order — the documented capability the
+reference validates but never runs (SURVEY Quirk Q5).
+
+Main-path defaults preserved here:
+- bin_numeric_data: missing outlier_percentile -> 0.1, missing exponent -> 2.2
+  (reference: main.py:167-174 — these override the function's own 5 / 2.0
+  defaults on the main path, and they are what produced the demo's golden
+  vocabulary [-3, 0, 2]).
+- convert_to_percent_changes: applied per file segment with the lenient
+  warn-and-emit-0.0 zero handling (reference: file_cache.py:298-325), using
+  the step's own decimal_places (default 2). [The reference instead reads the
+  *ranging* step's decimal_places for this — legacy slot [5],
+  file_cache.py:271,302 — an index quirk; we use the documented intent.]
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+from ..config.registry import resolve_function
+from ..config.schema import InputSchema, ProcessingStep
+from .loader import get_file_cache
+from .transforms import percent_changes_lenient
+
+
+@dataclass
+class ModalityData:
+    """Everything downstream layers need about one ingested modality."""
+
+    name: str
+    data: List                       # processed data points (pre-tokenization)
+    file_info: List                  # flat [name1, len1, name2, len2, ...]
+    raw_vocab_size: int              # unique count before processing
+    is_percent: bool
+    steps_applied: List[str] = field(default_factory=list)
+    metadata: Dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def file_lengths(self) -> List[int]:
+        return [self.file_info[i] for i in range(1, len(self.file_info), 2)]
+
+
+def load_modality_raw(
+    path: str, column_number: int, has_header: bool, quiet: bool = False
+) -> Tuple[List, List]:
+    """Load a raw column (file or folder concat) through the cache with the
+    reference's console output (reference: file_cache.py:276-296)."""
+    cache = get_file_cache()
+    data_name = Path(path).name
+
+    if os.path.isfile(path):
+        if not quiet:
+            print(f"  Loading data from file: '{data_name}'")
+        column_data = cache.get_column_data(path, column_number, has_header)
+        file_name = os.path.basename(path)
+        if not quiet:
+            print(f"    Successfully read file: {file_name}")
+        return column_data, [file_name, len(column_data)]
+
+    if not quiet:
+        print(f"    Loading data from folder: '{data_name}'")
+    all_data, file_info = cache.load_multiple_files(path, column_number, has_header)
+    if not quiet:
+        for i in range(0, len(file_info), 2):
+            print(f"    Successfully read file: {file_info[i]}")
+    return all_data, file_info
+
+
+def _apply_percent_per_segment(
+    data: List, file_info: List, decimal_places: Optional[int]
+) -> List:
+    dp = decimal_places if decimal_places is not None else 2
+    converted: List = []
+    index = 0
+    for i in range(0, len(file_info), 2):
+        file_name = file_info[i]
+        file_length = file_info[i + 1]
+        segment = data[index : index + file_length]
+        converted.extend(percent_changes_lenient(segment, dp, file_name))
+        index += file_length
+    return converted
+
+
+def apply_processing_steps(
+    data: List,
+    file_info: List,
+    steps: List[ProcessingStep],
+    on_step=None,
+) -> Tuple[List, List[str]]:
+    """Execute the enabled steps in declared order with main-path defaults.
+
+    ``on_step(step_index, step, effective_args)`` is invoked before each step
+    runs, letting the caller print the reference's per-step console lines.
+    Returns (processed_data, applied_function_names).
+    """
+    applied: List[str] = []
+    enabled = [s for s in steps if s.enabled]
+    for i, step in enumerate(enabled):
+        args = dict(step.args)
+        if step.function == "bin_numeric_data":
+            # Main-path defaults (reference: main.py:167-174).
+            if args.get("outlier_percentile") is None:
+                args["outlier_percentile"] = 0.1
+            if args.get("exponent") is None:
+                args["exponent"] = 2.2
+        if on_step is not None:
+            on_step(i, step, args)
+        if step.function == "convert_to_percent_changes":
+            data = _apply_percent_per_segment(
+                data, file_info, args.get("decimal_places")
+            )
+        else:
+            func = resolve_function(step.function)
+            data = func(data, **args)
+        applied.append(step.function)
+    return data, applied
+
+
+def load_and_process_modality(
+    schema: InputSchema, quiet: bool = False, on_step=None
+) -> ModalityData:
+    """Full per-modality ingestion: raw load + pipeline execution."""
+    raw, file_info = load_modality_raw(
+        str(schema.path), schema.column_number, schema.has_header, quiet=quiet
+    )
+    raw_vocab_size = len(set(raw))
+    processed, applied = apply_processing_steps(
+        raw, file_info, schema.processing_steps, on_step=on_step
+    )
+    return ModalityData(
+        name=schema.modality_name,
+        data=processed,
+        file_info=file_info,
+        raw_vocab_size=raw_vocab_size,
+        is_percent=schema.is_percent,
+        steps_applied=applied,
+    )
