@@ -1,0 +1,214 @@
+"""Sampling subsystem tests.
+
+The valid-start accounting is pinned against the reference's documented
+worked examples (reference TECHNICAL_NOTES.md:51-78) and an independent
+model of the spec; the device sampler must draw exactly from that set.
+Cross-checking against the live reference implementation confirmed the
+reachable start sets match exactly for single/multi-file, train/val, and
+percent/non-percent cases (see commit history).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from trade_aid_multimodal_transformer_tpu.sampling import (
+    BatchFeed,
+    SplitIndexPlan,
+    augment_tokens,
+    gather_windows,
+    resolve_rand_sizes,
+    split_file_lengths,
+)
+
+
+def spec_valid_starts(file_lengths, split, data_size, block_size, is_percents):
+    """Independent model of the reference spec (TECHNICAL_NOTES.md:51-110):
+    per split-file, starts [first_offset, L - (block+1)] inclusive."""
+    off = 1 if is_percents else 0
+    lengths = (
+        [data_size]
+        if len(file_lengths) == 1
+        else split_file_lengths(file_lengths, data_size, split)
+    )
+    out = []
+    pos = 0
+    for L in lengths:
+        for s in range(off, max(off, L - (block_size + 1) + 1)):
+            out.append(pos + s)
+        pos += L
+    return set(out)
+
+
+class TestSplitFileLengths:
+    def test_train_takes_front(self):
+        assert split_file_lengths([40, 30, 30], 70, "train") == [40, 30]
+
+    def test_train_truncates_boundary_file(self):
+        assert split_file_lengths([40, 30, 30], 60, "train") == [40, 20]
+
+    def test_val_takes_back_reversed(self):
+        assert split_file_lengths([40, 30, 30], 30, "val") == [30]
+        assert split_file_lengths([40, 30, 30], 45, "val") == [15, 30]
+
+    def test_val_truncation_from_reference_worked_example(self):
+        # 4 files of 25; val of 60 = [10, 25, 25]
+        assert split_file_lengths([25, 25, 25, 25], 60, "val") == [10, 25, 25]
+
+
+class TestSplitIndexPlan:
+    @pytest.mark.parametrize(
+        "file_lengths,split,data_size,block,pct",
+        [
+            ([100], "train", 100, 16, False),
+            ([100], "train", 100, 16, True),
+            ([40, 30, 30], "train", 70, 8, False),
+            ([40, 30, 30], "val", 30, 8, False),
+            ([40, 30, 30], "val", 45, 8, True),
+            ([25, 25, 25, 25], "train", 60, 5, True),
+            ([10, 50, 10], "val", 15, 4, False),
+        ],
+    )
+    def test_valid_set_matches_spec(self, file_lengths, split, data_size, block, pct):
+        plan = SplitIndexPlan.build(data_size, block, split, file_lengths, pct)
+        assert set(plan.valid_start_set().tolist()) == spec_valid_starts(
+            file_lengths, split, data_size, block, pct
+        )
+
+    def test_reference_worked_example(self):
+        # TECHNICAL_NOTES.md:73-78 — block=16, file of 100: starts 0..83;
+        # with percent data position 0 is excluded: starts 1..83.
+        plan = SplitIndexPlan.build(100, 16, "train", [100], False)
+        assert plan.valid_start_set().tolist() == list(range(0, 84))
+        plan_pct = SplitIndexPlan.build(100, 16, "train", [100], True)
+        assert plan_pct.valid_start_set().tolist() == list(range(1, 84))
+
+    def test_sampler_draws_whole_valid_set_uniformly(self):
+        plan = SplitIndexPlan.build(70, 8, "train", [40, 30, 30], False)
+        valid = set(plan.valid_start_set().tolist())
+        starts = np.asarray(plan.sample_starts(jax.random.PRNGKey(0), 20000))
+        assert set(starts.tolist()) == valid
+        # roughly uniform: each position within 4 sigma of expectation
+        counts = np.bincount(starts, minlength=70)[sorted(valid)]
+        expect = 20000 / len(valid)
+        assert (np.abs(counts - expect) < 5 * np.sqrt(expect)).all()
+
+    def test_no_valid_positions_raises(self):
+        with pytest.raises(ValueError, match="No valid starting positions"):
+            SplitIndexPlan.build(12, 8, "train", [6, 6], False)
+
+    def test_block_ge_data_size_raises(self):
+        with pytest.raises(ValueError):
+            SplitIndexPlan.build(8, 8, "train", [8], False)
+
+    def test_windows_never_cross_file_boundaries(self):
+        file_lengths = [20, 20, 20]
+        block = 6
+        plan = SplitIndexPlan.build(60, block, "train", file_lengths, False)
+        boundaries = np.cumsum(file_lengths)
+        for s in plan.valid_start_set():
+            for b in boundaries[:-1]:
+                # window [s, s+block] (inclusive of target) stays one side
+                assert not (s < b <= s + block)
+
+
+class TestGatherWindows:
+    def test_xy_shift(self):
+        data = np.arange(50, dtype=np.int32)
+        starts = np.array([0, 10, 43], dtype=np.int32)
+        w = np.asarray(gather_windows(data, starts, 6))
+        assert w.shape == (3, 7)
+        np.testing.assert_array_equal(w[1], np.arange(10, 17))
+        np.testing.assert_array_equal(w[:, 1:][:, :-1], w[:, :-1][:, 1:])
+
+
+class TestAugment:
+    def test_guard_protects_edges(self):
+        tokens = np.arange(10, dtype=np.int32)
+        out = np.asarray(augment_tokens(jax.random.PRNGKey(0), tokens, 2, 10))
+        for orig, new in zip(tokens, out):
+            if not (2 < orig < 8):
+                assert new == orig
+            else:
+                assert abs(int(new) - int(orig)) <= 2
+
+    def test_distribution_uniform_over_2k_plus_1(self):
+        tokens = np.full((30000,), 50, dtype=np.int32)
+        out = np.asarray(augment_tokens(jax.random.PRNGKey(1), tokens, 1, 100))
+        deltas, counts = np.unique(out - 50, return_counts=True)
+        assert set(deltas.tolist()) == {-1, 0, 1}
+        assert (np.abs(counts / 30000 - 1 / 3) < 0.02).all()
+
+
+class TestBatchFeed:
+    def make_feed(self, rand_sizes=(None, None)):
+        n = 200
+        d0 = np.arange(n, dtype=np.int32) % 97
+        d1 = (np.arange(n, dtype=np.int32) * 2) % 97
+        train = [d0[:160], d1[:160]]
+        val = [d0[160:], d1[160:]]
+        return BatchFeed(
+            train_sets=train,
+            val_sets=val,
+            file_lengths=[n],
+            block_size=8,
+            batch_size=16,
+            is_percents=False,
+            rand_sizes=list(rand_sizes),
+            vocab_sizes=[97, 97],
+        )
+
+    def test_shapes_and_xy_consistency(self):
+        feed = self.make_feed()
+        xb, yb = feed.get_batch(jax.random.PRNGKey(0), "train", True)
+        assert xb.shape == (2, 16, 8)
+        assert yb.shape == (2, 16, 8)
+        np.testing.assert_array_equal(np.asarray(xb)[:, :, 1:], np.asarray(yb)[:, :, :-1])
+
+    def test_same_starts_across_modalities(self):
+        feed = self.make_feed()
+        xb, _ = feed.get_batch(jax.random.PRNGKey(3), "train", False)
+        xb = np.asarray(xb)
+        np.testing.assert_array_equal((xb[0] * 2) % 97, xb[1])
+
+    def test_val_batches_from_val_split(self):
+        feed = self.make_feed()
+        xb, _ = feed.get_batch(jax.random.PRNGKey(1), "val", False)
+        # val split of modality 0 is d0[160:] = (160..199) % 97
+        valid_values = set((np.arange(160, 200) % 97).tolist())
+        assert set(np.asarray(xb)[0].flatten().tolist()) <= valid_values
+
+    def test_augmented_batch_keeps_xy_aligned(self):
+        feed = self.make_feed(rand_sizes=(1, None))
+        xb, yb = feed.get_batch(jax.random.PRNGKey(2), "train", True)
+        # augmentation perturbs the window before the x/y split
+        np.testing.assert_array_equal(np.asarray(xb)[:, :, 1:], np.asarray(yb)[:, :, :-1])
+        # modality 1 (rand None) untouched relative to source data
+        xb0, _ = feed.get_batch(jax.random.PRNGKey(2), "train", False)
+        np.testing.assert_array_equal(np.asarray(xb)[1], np.asarray(xb0)[1])
+
+    def test_eval_batches_never_augmented(self):
+        feed = self.make_feed(rand_sizes=(3, 3))
+        xb_a, _ = feed.get_batch(jax.random.PRNGKey(5), "train", False)
+        xb_b, _ = feed.get_batch(jax.random.PRNGKey(5), "train", True)
+        # same key: identical starts; training adds noise, eval must not
+        assert not np.array_equal(np.asarray(xb_a), np.asarray(xb_b))
+        xb_c, _ = feed.get_batch(jax.random.PRNGKey(5), "train", False)
+        np.testing.assert_array_equal(np.asarray(xb_a), np.asarray(xb_c))
+
+
+class TestResolveRandSizes:
+    def params(self, rand, header=True):
+        return [["p.csv", 1, header, False, None, None, None, rand, False, "m"]]
+
+    def test_documented_intent_reads_slot_7(self):
+        assert resolve_rand_sizes(self.params(2)) == [2]
+        assert resolve_rand_sizes(self.params(None)) == [None]
+
+    def test_compat_mode_reads_slot_2(self):
+        # has_header=True behaves as rand_size 1 (Quirk Q1)
+        assert resolve_rand_sizes(self.params(None), compat_legacy_rand_index=True) == [1]
+
+    def test_compat_mode_header_false_raises_like_reference(self):
+        with pytest.raises(ValueError, match="between 1 and 3"):
+            resolve_rand_sizes(self.params(None, header=False), compat_legacy_rand_index=True)
