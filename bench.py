@@ -1,0 +1,151 @@
+"""Headline benchmark: train steps/sec on the reference's demo config.
+
+Baseline: the reference (torch, CPU) measures 32.6 steps/s on this exact
+configuration — 2 modalities (ranged prices w/ cross-attention + binned
+percent changes), B=4, T=4, n_embd=32, n_head=4, n_layer=2, dropout 0.1
+(BASELINE.md). Here the same model trains as fused device programs with
+in-scan batch sampling.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Diagnostics go to stderr.
+"""
+
+import contextlib
+import io
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+import jax
+
+REFERENCE_STEPS_PER_SEC = 32.6  # BASELINE.md: demo config, torch CPU
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_demo_run():
+    from trade_aid_multimodal_transformer_tpu.config.schema import InputSchema
+    from trade_aid_multimodal_transformer_tpu.data.ingest import load_and_process_modality
+    from trade_aid_multimodal_transformer_tpu.data.vocab import (
+        create_train_val_datasets,
+        numerical_representation,
+    )
+    from trade_aid_multimodal_transformer_tpu.models.config import ModelConfig
+    from trade_aid_multimodal_transformer_tpu.models.init import init_params
+    from trade_aid_multimodal_transformer_tpu.sampling.feed import BatchFeed
+    from trade_aid_multimodal_transformer_tpu.train.metrics import build_metric_specs
+    from trade_aid_multimodal_transformer_tpu.train.steps import Trainer, make_optimizer
+
+    root = Path(__file__).resolve().parent
+    csv = str(root / "examples" / "demo_data" / "demo_stock.csv")
+    schemas = [
+        InputSchema.from_dict(
+            {
+                "modality_name": "Demo Prices",
+                "path": csv,
+                "column_number": 13,
+                "has_header": True,
+                "processing_steps": [
+                    {
+                        "function": "range_numeric_data",
+                        "args": {"num_whole_digits": 2, "decimal_places": 1},
+                    }
+                ],
+                "cross_attention": True,
+            }
+        ),
+        InputSchema.from_dict(
+            {
+                "modality_name": "Demo Changes (%)",
+                "path": csv,
+                "column_number": 13,
+                "has_header": True,
+                "processing_steps": [
+                    {"function": "convert_to_percent_changes", "args": {"decimal_places": 2}},
+                    {
+                        "function": "bin_numeric_data",
+                        "args": {"num_bins": 3, "outlier_percentile": 0.1},
+                    },
+                ],
+            }
+        ),
+    ]
+
+    trains, vals, vocabs, mods = [], [], [], []
+    with contextlib.redirect_stdout(io.StringIO()):
+        for s in schemas:
+            md = load_and_process_modality(s)
+            ids, vocab = numerical_representation(md.data)
+            tr, va = create_train_val_datasets(ids, 0.2, 0, md.file_lengths)
+            trains.append(tr)
+            vals.append(va)
+            vocabs.append(vocab)
+            mods.append(md)
+
+    cfg = ModelConfig(
+        vocab_sizes=tuple(len(v) for v in vocabs),
+        cross_attention=(True, False),
+        n_embd=32,
+        n_head=4,
+        n_layer=2,
+        block_size=4,
+        dropout=0.1,
+        attn_impl="auto",
+    )
+    feed = BatchFeed(
+        trains, vals, mods[0].file_lengths, cfg.block_size, 4,
+        is_percents=True, rand_sizes=[None, None],
+        vocab_sizes=[len(v) for v in vocabs],
+    )
+    specs = build_metric_specs(vocabs, [m.is_percent for m in mods], cfg.block_size)
+    optimizer = make_optimizer(1e-3)
+    trainer = Trainer(cfg, feed, optimizer, specs, eval_iters=40)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt_state = optimizer.init(params)
+    return trainer, params, opt_state
+
+
+def main():
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    trainer, params, opt_state = build_demo_run()
+
+    chunk = 512
+    key = jax.random.PRNGKey(0)
+
+    t0 = time.perf_counter()
+    params, opt_state, losses = trainer.train_chunk(params, opt_state, key, chunk)
+    jax.block_until_ready(losses)
+    log(f"compile + first chunk: {time.perf_counter() - t0:.1f}s")
+
+    best = 0.0
+    for trial in range(3):
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        params, opt_state, losses = trainer.train_chunk(params, opt_state, sub, chunk)
+        jax.block_until_ready(losses)
+        dt = time.perf_counter() - t0
+        sps = chunk / dt
+        best = max(best, sps)
+        log(f"trial {trial}: {chunk} steps in {dt:.3f}s -> {sps:.1f} steps/s")
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_steps_per_sec_demo_config",
+                "value": round(best, 1),
+                "unit": "steps/s",
+                "vs_baseline": round(best / REFERENCE_STEPS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""Behavioral model tests: causality, init statistics, dropout, generate."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trade_aid_multimodal_transformer_tpu.models.config import ModelConfig
+from trade_aid_multimodal_transformer_tpu.models.init import count_params, init_params
+from trade_aid_multimodal_transformer_tpu.models.transformer import (
+    forward,
+    generate,
+    total_loss,
+)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return ModelConfig(
+        vocab_sizes=(19, 7),
+        cross_attention=(True, False),
+        n_embd=16,
+        n_head=2,
+        n_layer=2,
+        block_size=6,
+        dropout=0.1,
+        attn_impl="jnp",
+    )
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return init_params(jax.random.PRNGKey(0), cfg)
+
+
+def make_batch(cfg, key, B=3):
+    keys = jax.random.split(key, 2 * cfg.num_modalities)
+    idx = jnp.stack(
+        [
+            jax.random.randint(keys[m], (B, cfg.block_size), 0, cfg.vocab_sizes[m])
+            for m in range(cfg.num_modalities)
+        ]
+    )
+    tgt = jnp.stack(
+        [
+            jax.random.randint(
+                keys[cfg.num_modalities + m], (B, cfg.block_size), 0, cfg.vocab_sizes[m]
+            )
+            for m in range(cfg.num_modalities)
+        ]
+    )
+    return idx, tgt
+
+
+class TestForward:
+    def test_shapes(self, cfg, params):
+        idx, tgt = make_batch(cfg, jax.random.PRNGKey(1))
+        logits, losses = forward(params, cfg, idx, tgt)
+        assert len(logits) == 2
+        assert logits[0].shape == (3, cfg.block_size, 19)
+        assert logits[1].shape == (3, cfg.block_size, 7)
+        assert all(l.shape == () for l in losses)
+
+    def test_init_loss_near_uniform(self, cfg, params):
+        # With N(0, 0.02) init, logits are near zero: per-modality CE ~ ln(V).
+        idx, tgt = make_batch(cfg, jax.random.PRNGKey(2), B=16)
+        loss, losses = total_loss(params, cfg, idx, tgt, train=False)
+        assert float(losses[0]) == pytest.approx(math.log(19), abs=0.1)
+        assert float(losses[1]) == pytest.approx(math.log(7), abs=0.1)
+        assert float(loss) == pytest.approx(math.log(19) + math.log(7), abs=0.2)
+
+    def test_causality(self, cfg, params):
+        """Changing a future token must not affect earlier positions' logits
+        in any modality (causal mask in both self- and cross-attention)."""
+        idx, _ = make_batch(cfg, jax.random.PRNGKey(3))
+        logits_a, _ = forward(params, cfg, idx)
+        idx_b = idx.at[:, :, -1].set((idx[:, :, -1] + 1) % 7)
+        logits_b, _ = forward(params, cfg, idx_b)
+        for m in range(2):
+            np.testing.assert_allclose(
+                np.asarray(logits_a[m][:, :-1]),
+                np.asarray(logits_b[m][:, :-1]),
+                atol=1e-6,
+            )
+            # and the last position DOES change
+            assert not np.allclose(
+                np.asarray(logits_a[m][:, -1]), np.asarray(logits_b[m][:, -1])
+            )
+
+    def test_cross_attention_couples_modalities(self, cfg, params):
+        """Modality 0 (cross on) must react to modality 1's tokens;
+        modality 1 (cross off) must not react to modality 0's tokens."""
+        idx, _ = make_batch(cfg, jax.random.PRNGKey(4))
+        logits_a, _ = forward(params, cfg, idx)
+        idx_b = idx.at[1].set((idx[1] + 1) % 7)  # perturb modality 1 everywhere
+        logits_b, _ = forward(params, cfg, idx_b)
+        assert not np.allclose(np.asarray(logits_a[0]), np.asarray(logits_b[0]))
+
+        idx_c = idx.at[0].set((idx[0] + 1) % 19)  # perturb modality 0
+        logits_c, _ = forward(params, cfg, idx_c)
+        np.testing.assert_allclose(
+            np.asarray(logits_a[1]), np.asarray(logits_c[1]), atol=1e-6
+        )
+
+    def test_dropout_train_vs_eval(self, cfg, params):
+        idx, tgt = make_batch(cfg, jax.random.PRNGKey(5))
+        rng = jax.random.PRNGKey(11)
+        l_train1, _ = total_loss(params, cfg, idx, tgt, rng=rng, train=True)
+        l_train2, _ = total_loss(params, cfg, idx, tgt, rng=rng, train=True)
+        l_train3, _ = total_loss(
+            params, cfg, idx, tgt, rng=jax.random.PRNGKey(12), train=True
+        )
+        l_eval, _ = total_loss(params, cfg, idx, tgt, train=False)
+        assert float(l_train1) == float(l_train2)  # same key -> same masks
+        assert float(l_train1) != float(l_train3)  # different key -> different
+        assert float(l_eval) != float(l_train1)
+
+    def test_gradients_flow_everywhere(self, cfg, params):
+        idx, tgt = make_batch(cfg, jax.random.PRNGKey(6))
+        grads = jax.grad(lambda p: total_loss(p, cfg, idx, tgt, train=False)[0])(params)
+        flat, _ = jax.tree_util.tree_flatten(grads)
+        nonzero = sum(bool(jnp.any(g != 0)) for g in flat)
+        assert nonzero == len(flat), f"{len(flat) - nonzero} param tensors got zero grad"
+
+
+class TestInit:
+    def test_param_count_matches_structure(self, cfg, params):
+        n = count_params(params)
+        assert n > 0
+        # embeddings alone: sum(V*C) + block*C
+        emb = sum(v * cfg.n_embd for v in cfg.vocab_sizes) + cfg.block_size * cfg.n_embd
+        assert n > emb
+
+    def test_init_statistics(self, cfg, params):
+        w = np.asarray(params["blocks"][0]["ffwd"]["w1"])
+        assert abs(w.std() - 0.02) < 0.004
+        assert np.all(np.asarray(params["blocks"][0]["ffwd"]["b1"]) == 0)
+        assert np.all(np.asarray(params["blocks"][0]["ln1"]["scale"]) == 1)
+
+
+class TestGenerate:
+    def test_generate_extends_target_modality(self, cfg, params):
+        idx = [
+            jnp.zeros((2, 4), jnp.int32),
+            jnp.zeros((2, 4), jnp.int32),
+        ]
+        out = generate(params, cfg, idx, jax.random.PRNGKey(0), max_new_tokens=3,
+                       modality_to_generate=0)
+        assert out[0].shape == (2, 7)
+        assert out[1].shape == (2, 7)  # padded with last token
+        assert np.all(np.asarray(out[0][:, :4]) == 0)
+        assert int(np.asarray(out[0]).max()) < 19
+
+    def test_generated_tokens_within_vocab(self, cfg, params):
+        idx = [jnp.ones((1, 2), jnp.int32), jnp.ones((1, 2), jnp.int32)]
+        out = generate(params, cfg, idx, jax.random.PRNGKey(1), max_new_tokens=5,
+                       modality_to_generate=1)
+        assert int(np.asarray(out[1]).max()) < 7
+        assert out[1].shape[1] == 7

@@ -1,0 +1,211 @@
+"""Training-subsystem tests: fused steps, metrics, checkpointing."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trade_aid_multimodal_transformer_tpu.models.config import ModelConfig
+from trade_aid_multimodal_transformer_tpu.models.init import init_params
+from trade_aid_multimodal_transformer_tpu.sampling.feed import BatchFeed
+from trade_aid_multimodal_transformer_tpu.train.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+)
+from trade_aid_multimodal_transformer_tpu.train.metrics import (
+    ModalityMetricSpec,
+    batch_directional_metrics,
+    build_metric_specs,
+)
+from trade_aid_multimodal_transformer_tpu.train.steps import Trainer, make_optimizer
+
+
+def fresh(tree):
+    """Copy a pytree: train_chunk donates its inputs, so tests must not
+    pass the shared fixture arrays directly."""
+    return jax.tree.map(jnp.copy, tree)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig(
+        vocab_sizes=(13, 5),
+        cross_attention=(True, False),
+        n_embd=16,
+        n_head=2,
+        n_layer=1,
+        block_size=4,
+        dropout=0.0,
+        attn_impl="jnp",
+    )
+    rng = np.random.default_rng(0)
+    n = 300
+    d0 = rng.integers(0, 13, n).astype(np.int32)
+    d1 = rng.integers(0, 5, n).astype(np.int32)
+    feed = BatchFeed(
+        [d0[:240], d1[:240]], [d0[240:], d1[240:]],
+        file_lengths=[n], block_size=4, batch_size=8,
+        is_percents=False, rand_sizes=[None, None], vocab_sizes=[13, 5],
+    )
+    vocabs = [list(np.linspace(-3, 3, 13)), [-2.0, -1.0, 0.0, 1.0, 2.0]]
+    specs = build_metric_specs(vocabs, [False, True], 4)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(1e-2)
+    trainer = Trainer(cfg, feed, opt, specs, eval_iters=3)
+    return cfg, feed, trainer, params, opt
+
+
+class TestTrainSteps:
+    def test_loss_decreases_over_fused_chunk(self, setup):
+        cfg, feed, trainer, params, opt = setup
+        params2, opt_state2, losses = trainer.train_chunk(
+            fresh(params), opt.init(fresh(params)), jax.random.PRNGKey(1), 60
+        )
+        losses = np.asarray(losses)
+        assert losses.shape == (60,)
+        assert losses[-10:].mean() < losses[:10].mean()
+
+    def test_fused_chunk_matches_eager_loop(self, setup):
+        """The scanned 4-step chunk equals a hand-rolled eager optimization
+        loop fed the same per-step keys."""
+        import optax
+
+        from trade_aid_multimodal_transformer_tpu.models.transformer import total_loss
+
+        cfg, feed, trainer, params, opt = setup
+        key = jax.random.PRNGKey(2)
+        pa, oa, la = trainer.train_chunk(
+            fresh(params), opt.init(fresh(params)), key, 4
+        )
+
+        pb, ob = fresh(params), opt.init(fresh(params))
+        lb = []
+        for step_key in jax.random.split(key, 4):
+            k_batch, k_drop = jax.random.split(step_key)
+            xb, yb = feed._sample_impl(k_batch, split="train", augment=True)
+            (loss, _), grads = jax.value_and_grad(total_loss, has_aux=True)(
+                pb, cfg, xb, yb, k_drop, True
+            )
+            updates, ob = opt.update(grads, ob, pb)
+            pb = optax.apply_updates(pb, updates)
+            lb.append(float(loss))
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=2e-5)
+        for x, y in zip(jax.tree_util.tree_leaves(pa), jax.tree_util.tree_leaves(pb)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-5)
+
+    def test_chunk_deterministic(self, setup):
+        cfg, feed, trainer, params, opt = setup
+        key = jax.random.PRNGKey(7)
+        _, _, la = trainer.train_chunk(fresh(params), opt.init(fresh(params)), key, 3)
+        _, _, lb = trainer.train_chunk(fresh(params), opt.init(fresh(params)), key, 3)
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    def test_eval_pass_stats(self, setup):
+        cfg, feed, trainer, params, opt = setup
+        stats = trainer.eval_pass(params, jax.random.PRNGKey(3), "val")
+        assert float(stats.mean_loss) == pytest.approx(
+            math.log(13) + math.log(5), abs=0.3
+        )
+        # both modalities eligible: 3 eval iters * 8 batch rows each
+        assert [int(x) for x in stats.batches_processed] == [3, 3]
+        for m in range(2):
+            assert int(stats.wins[m]) + int(stats.losses[m]) == 24
+
+
+class TestMetrics:
+    def test_percent_spec_matches_hand_calc(self):
+        vocab = [-2.0, 0.0, 1.5]
+        spec = ModalityMetricSpec.build(vocab, True, 4)
+        logits = jnp.asarray([[3.0, 1.0, 0.5], [0.0, 0.1, 5.0]])
+        x_last = jnp.asarray([0, 1])
+        y_last = jnp.asarray([0, 1])   # actual values: -2.0 (down), 0.0 (flat)
+        wins, losses, cert = batch_directional_metrics(logits, x_last, y_last, spec)
+        # row 0: pred argmax=0 -> -2.0 (down); actual -2.0 (down) -> win
+        # row 1: pred argmax=2 -> +1.5 (up); actual 0.0 (flat) -> loss
+        assert int(wins) == 1 and int(losses) == 1
+        # certainty row0: prob mass on tokens with sign -1 => token 0 only
+        p0 = jax.nn.softmax(logits[0])
+        p1 = jax.nn.softmax(logits[1])
+        expected = float(p0[0]) + float(p1[2])
+        assert float(cert) == pytest.approx(expected, abs=1e-6)
+
+    def test_value_spec_uses_previous_token(self):
+        vocab = [1.0, 2.0, 3.0]
+        spec = ModalityMetricSpec.build(vocab, False, 4)
+        logits = jnp.asarray([[0.0, 0.0, 9.0]])   # pred token 2 -> value 3.0
+        x_last = jnp.asarray([1])                 # prev value 2.0
+        y_last = jnp.asarray([0])                 # actual value 1.0 (down)
+        wins, losses, _ = batch_directional_metrics(logits, x_last, y_last, spec)
+        # predicted up (3>2), actual down (1<2) -> loss
+        assert int(wins) == 0 and int(losses) == 1
+
+    def test_non_numeric_vocab_ineligible(self):
+        spec = ModalityMetricSpec.build(["a", "b"], False, 4)
+        assert not spec.eligible
+
+    def test_short_sequence_ineligible_for_value_data(self):
+        spec = ModalityMetricSpec.build([1.0, 2.0], False, 1)
+        assert not spec.eligible
+        spec_pct = ModalityMetricSpec.build([1.0, 2.0], True, 1)
+        assert spec_pct.eligible
+
+
+class TestCheckpoint:
+    def test_full_round_trip(self, setup, tmp_path):
+        cfg, feed, trainer, params, opt = setup
+        params2, opt_state2, _ = trainer.train_chunk(
+            fresh(params), opt.init(fresh(params)), jax.random.PRNGKey(5), 3
+        )
+        path = str(tmp_path / "ckpt.npz")
+        rng = np.asarray(jax.random.PRNGKey(42))
+        size = save_checkpoint(path, params2, opt_state2, step=3, rng=rng)
+        assert size > 0
+
+        p0 = init_params(jax.random.PRNGKey(99), cfg)
+        o0 = opt.init(p0)
+        p, o, step, r = load_checkpoint(path, p0, o0)
+        assert step == 3
+        np.testing.assert_array_equal(r, rng)
+        for a, b in zip(jax.tree_util.tree_leaves(p), jax.tree_util.tree_leaves(params2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(o), jax.tree_util.tree_leaves(opt_state2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_weights_only_mode(self, setup, tmp_path):
+        cfg, feed, trainer, params, opt = setup
+        path = str(tmp_path / "weights.npz")
+        save_checkpoint(path, params, opt.init(params), step=7, weights_only=True)
+        p0 = init_params(jax.random.PRNGKey(99), cfg)
+        p, o, step, r = load_checkpoint(path, p0, opt.init(p0))
+        assert step is None and r is None
+        for a, b in zip(jax.tree_util.tree_leaves(p), jax.tree_util.tree_leaves(params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_load_reference_torch_checkpoint(self, tmp_path):
+        """A reference-format .pth loads transparently (migration path)."""
+        import torch
+
+        z = np.load("tests/fixtures/model_parity.npz")
+        cfg = ModelConfig(
+            vocab_sizes=tuple(z["vocab_sizes"].tolist()),
+            cross_attention=tuple(bool(c) for c in z["cross"]),
+            n_embd=int(z["n_embd"]), n_head=int(z["n_head"]),
+            n_layer=int(z["n_layer"]), block_size=int(z["block_size"]),
+            dropout=0.0, attn_impl="jnp",
+        )
+        sd = {
+            k[4:]: torch.tensor(z[k].astype(np.float32))
+            for k in z.files if k.startswith("sd::")
+        }
+        path = str(tmp_path / "ref.pth")
+        torch.save(sd, path)
+
+        p0 = init_params(jax.random.PRNGKey(0), cfg)
+        p, o, step, r = load_checkpoint(path, p0, None, cfg)
+        np.testing.assert_allclose(
+            np.asarray(p["pre"]["pos_emb"]),
+            z["sd::pre_block.position_embedding_table.weight"].astype(np.float32),
+            atol=1e-7,
+        )

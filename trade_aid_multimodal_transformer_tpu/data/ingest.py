@@ -100,9 +100,11 @@ def apply_processing_steps(
 ) -> Tuple[List, List[str]]:
     """Execute the enabled steps in declared order with main-path defaults.
 
-    ``on_step(step_index, step, effective_args)`` is invoked before each step
-    runs, letting the caller print the reference's per-step console lines.
-    Returns (processed_data, applied_function_names).
+    ``on_step(step_index, step, effective_args, current_data)`` is invoked
+    before each step runs, letting the caller print the reference's per-step
+    console lines (which inspect the pre-step data, e.g. the binning
+    description at main.py:176-197). Returns
+    (processed_data, applied_function_names).
     """
     applied: List[str] = []
     enabled = [s for s in steps if s.enabled]
@@ -115,7 +117,7 @@ def apply_processing_steps(
             if args.get("exponent") is None:
                 args["exponent"] = 2.2
         if on_step is not None:
-            on_step(i, step, args)
+            on_step(i, step, args, data)
         if step.function == "convert_to_percent_changes":
             data = _apply_percent_per_segment(
                 data, file_info, args.get("decimal_places")

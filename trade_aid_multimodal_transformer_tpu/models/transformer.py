@@ -1,0 +1,288 @@
+"""The multimodal transformer: functional forward pass over a pure pytree.
+
+Architecture parity with the reference model (reference: model.py:30-446),
+including its nonstandard internals (SURVEY Quirk Q6):
+
+- factored QKV: Linear(C, hs/2) -> tanh -> Linear(hs/2, hs, no bias) per
+  projection (reference: model.py:36-50)
+- attention: q·k^T * hs**-0.5, causal mask, softmax, dropout on the affinity
+  matrix, then ·v (reference: model.py:60-73)
+- output projection: Linear(H*hs, C/2) -> tanh -> Linear(C/2, C) + dropout
+  (reference: model.py:82-92)
+- cross-attention: per head a single no-bias query Linear; per KV modality a
+  no-bias Linear(C, 2hs) split into k,v; per-modality attention outputs are
+  SUMMED across KV modalities (reference: model.py:119-159); KV inputs are
+  the *post-SA/FF* activations of the other modalities in the same block
+  (reference: model.py:229-242)
+- block order: x += SA(LN1(x)); x += FF(LN2(x)); then cross-attention
+  (note FF before cross — reference: model.py:222-226)
+- post block: LN -> Linear(C, V/2) -> tanh -> Linear(V/2, V)
+  (reference: model.py:330-337)
+- loss: per-modality mean cross-entropy over (B*T); total loss is the sum
+  (reference: model.py:392-400, main.py:645-646)
+
+TPU mapping: modality-uniform compute (SA/FF/LN) is stacked over a leading
+modality axis M so every matmul batches (M*B*T) rows onto the MXU; ragged
+pieces (embeddings, vocab heads, cross-attention) unroll per modality at
+trace time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import causal_attention
+from ..ops.layers import KeyGen, dropout, layernorm
+from .config import ModelConfig
+
+
+def _qkv_project(h: jax.Array, w1, b1, w2, H: int, hs2: int) -> jax.Array:
+    """Factored tanh-MLP projection for all modalities/heads at once.
+
+    h: (M, B, T, C) -> (M, B, H, T, hs)
+    """
+    M, B, T, _ = h.shape
+    t = jnp.einsum("mbtc,mcd->mbtd", h, w1) + b1[:, None, None, :]
+    t = jnp.tanh(t).reshape(M, B, T, H, hs2)
+    out = jnp.einsum("mbthd,mhde->mbthe", t, w2)
+    return out.transpose(0, 1, 3, 2, 4)  # (M, B, H, T, hs)
+
+
+def _proj_mlp(out: jax.Array, w1, b1, w2, b2) -> jax.Array:
+    """tanh-MLP output projection, broadcasting over stacked leading dims."""
+    if w1.ndim == 3:  # stacked over modality: (M, ...)
+        t = jnp.tanh(jnp.einsum("mbtd,mde->mbte", out, w1) + b1[:, None, None, :])
+        return jnp.einsum("mbte,mec->mbtc", t, w2) + b2[:, None, None, :]
+    t = jnp.tanh(out @ w1 + b1)
+    return t @ w2 + b2
+
+
+def self_attention(
+    x_norm: jax.Array,
+    sa: Dict[str, jax.Array],
+    cfg: ModelConfig,
+    keys: KeyGen,
+    train: bool,
+) -> jax.Array:
+    """Multi-head self-attention for all modalities (x_norm: (M, B, T, C))."""
+    M, B, T, C = x_norm.shape
+    H, hs = cfg.n_head, cfg.head_size
+    hs2 = hs // 2
+
+    k = _qkv_project(x_norm, sa["w1_k"], sa["b1_k"], sa["w2_k"], H, hs2)
+    q = _qkv_project(x_norm, sa["w1_q"], sa["b1_q"], sa["w2_q"], H, hs2)
+    v = _qkv_project(x_norm, sa["w1_v"], sa["b1_v"], sa["w2_v"], H, hs2)
+
+    att = causal_attention(
+        q, k, v,
+        dropout_rate=cfg.dropout,
+        dropout_key=keys(),
+        train=train,
+        impl=cfg.attn_impl,
+    )  # (M, B, H, T, hs)
+
+    out = att.transpose(0, 1, 3, 2, 4).reshape(M, B, T, H * hs)
+    out = _proj_mlp(out, sa["proj_w1"], sa["proj_b1"], sa["proj_w2"], sa["proj_b2"])
+    return dropout(out, cfg.dropout, keys(), train)
+
+
+def cross_attention(
+    query_x: jax.Array,
+    kv_x: jax.Array,
+    cp: Dict[str, jax.Array],
+    cfg: ModelConfig,
+    keys: KeyGen,
+    train: bool,
+) -> jax.Array:
+    """Cross-attention for one modality.
+
+    query_x: (B, T, C) — LN_cross output of the querying modality
+    kv_x: (J, B, T, C) — post-SA/FF activations of the other modalities
+    """
+    B, T, C = query_x.shape
+    H, hs = cfg.n_head, cfg.head_size
+
+    q = jnp.einsum("btc,hce->bhte", query_x, cp["q_w"])          # (B,H,T,hs)
+    kv = jnp.einsum("jbtc,jhcf->jbhtf", kv_x, cp["kv_w"])        # (J,B,H,T,2hs)
+    k, v = jnp.split(kv, 2, axis=-1)
+
+    # Broadcast the single query stream against J KV streams; the sum over J
+    # (reference: model.py:158) happens after the per-stream attention.
+    att = causal_attention(
+        q[None], k, v,
+        dropout_rate=cfg.dropout,
+        dropout_key=keys(),
+        train=train,
+        impl=cfg.attn_impl,
+    )  # (J, B, H, T, hs)
+    att = att.sum(axis=0)
+
+    out = att.transpose(0, 2, 1, 3).reshape(B, T, H * hs)
+    out = _proj_mlp(out, cp["proj_w1"], cp["proj_b1"], cp["proj_w2"], cp["proj_b2"])
+    return dropout(out, cfg.dropout, keys(), train)
+
+
+def feed_forward(
+    x_norm: jax.Array, ff: Dict[str, jax.Array], cfg: ModelConfig, keys: KeyGen, train: bool
+) -> jax.Array:
+    """C -> 4C -> ReLU -> C -> dropout (reference: model.py:162-175)."""
+    h = jnp.einsum("mbtc,mcd->mbtd", x_norm, ff["w1"]) + ff["b1"][:, None, None, :]
+    h = jax.nn.relu(h)
+    h = jnp.einsum("mbtd,mdc->mbtc", h, ff["w2"]) + ff["b2"][:, None, None, :]
+    return dropout(h, cfg.dropout, keys(), train)
+
+
+def block_forward(
+    x: jax.Array,
+    block: Dict[str, Any],
+    cfg: ModelConfig,
+    keys: KeyGen,
+    train: bool,
+) -> jax.Array:
+    """One MultimodalBlock (reference: model.py:214-244). x: (M, B, T, C)."""
+    x = x + self_attention(
+        layernorm(x, block["ln1"]["scale"], block["ln1"]["bias"]),
+        block["sa"], cfg, keys, train,
+    )
+    x = x + feed_forward(
+        layernorm(x, block["ln2"]["scale"], block["ln2"]["bias"]),
+        block["ffwd"], cfg, keys, train,
+    )
+
+    if block["cross"]:
+        # KV inputs are the post-SA/FF activations (x), frozen for all
+        # modalities before any cross update is applied.
+        updates = {}
+        for i_str, cp in block["cross"].items():
+            i = int(i_str)
+            kv_idx = cfg.kv_modalities(i)
+            if not kv_idx:
+                continue
+            kv_x = x[jnp.array(kv_idx)] if len(kv_idx) > 1 else x[kv_idx[0]][None]
+            y = layernorm(x[i], cp["ln_scale"], cp["ln_bias"])
+            updates[i] = x[i] + cross_attention(y, kv_x, cp, cfg, keys, train)
+        if updates:
+            x = jnp.stack(
+                [updates.get(i, x[i]) for i in range(cfg.num_modalities)]
+            )
+    return x
+
+
+def embed(params: Dict[str, Any], cfg: ModelConfig, idx: jax.Array) -> jax.Array:
+    """Token + shared positional embedding (reference: model.py:285-319).
+
+    idx: (M, B, T) int32 -> (M, B, T, C)
+    """
+    T = idx.shape[-1]
+    pos = params["pre"]["pos_emb"][:T]
+    xs = [
+        params["pre"]["tok_emb"][m][idx[m]] + pos
+        for m in range(cfg.num_modalities)
+    ]
+    return jnp.stack(xs)
+
+
+def logits_heads(
+    params: Dict[str, Any], cfg: ModelConfig, x: jax.Array
+) -> List[jax.Array]:
+    """Per-modality LN + vocab//2 tanh-MLP head (reference: model.py:322-352)."""
+    post = params["post"]
+    out = []
+    for m in range(cfg.num_modalities):
+        h = layernorm(x[m], post["ln_scale"][m], post["ln_bias"][m])
+        head = post["heads"][m]
+        out.append(_proj_mlp(h, head["w1"], head["b1"], head["w2"], head["b2"]))
+    return out
+
+
+def cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Mean token-level CE over all positions (reference: model.py:392-400)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return nll.mean()
+
+
+def forward(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    idx: jax.Array,
+    targets: Optional[jax.Array] = None,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> Tuple[List[jax.Array], Optional[List[jax.Array]]]:
+    """Full forward pass.
+
+    idx: (M, B, T) int32 stacked token ids (all modalities share B, T).
+    Returns (logits_list, losses_list) like the reference's
+    ``MultimodalTransformer.forward`` (model.py:380-402); losses_list is None
+    when targets is None.
+    """
+    keys = KeyGen(rng)
+    x = embed(params, cfg, idx)
+    for block in params["blocks"]:
+        x = block_forward(x, block, cfg, keys, train)
+    logits_list = logits_heads(params, cfg, x)
+
+    if targets is None:
+        return logits_list, None
+    losses_list = [
+        cross_entropy(logits_list[m], targets[m]) for m in range(cfg.num_modalities)
+    ]
+    return logits_list, losses_list
+
+
+def total_loss(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    idx: jax.Array,
+    targets: jax.Array,
+    rng: Optional[jax.Array] = None,
+    train: bool = True,
+) -> Tuple[jax.Array, List[jax.Array]]:
+    """Summed multimodal loss (reference: main.py:645-646)."""
+    _, losses = forward(params, cfg, idx, targets, rng, train)
+    return jnp.sum(jnp.stack(losses)), losses
+
+
+def generate(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    idx_list: Sequence[jax.Array],
+    key: jax.Array,
+    max_new_tokens: int = 1,
+    modality_to_generate: int = 0,
+) -> List[jax.Array]:
+    """Autoregressive sampling for one modality (reference: model.py:404-446).
+
+    Other modalities are kept length-consistent by repeating their last token
+    (reference: model.py:434-444). Sampling is multinomial over the softmax of
+    the last position (jax.random.categorical == multinomial-over-softmax).
+    """
+    seqs = [jnp.asarray(x) for x in idx_list]
+    for _ in range(max_new_tokens):
+        cond = [s[:, -cfg.block_size :] for s in seqs]
+        t = max(c.shape[1] for c in cond)
+        # pad shorter streams on the left by repeating their first token so
+        # shapes stack; the reference keeps lengths equal by construction.
+        cond = [
+            jnp.pad(c, ((0, 0), (t - c.shape[1], 0)), mode="edge") for c in cond
+        ]
+        logits_list, _ = forward(params, cfg, jnp.stack(cond), train=False)
+        logits = logits_list[modality_to_generate][:, -1, :]
+        key, sub = jax.random.split(key)
+        idx_next = jax.random.categorical(sub, logits, axis=-1)[:, None]
+        seqs[modality_to_generate] = jnp.concatenate(
+            [seqs[modality_to_generate], idx_next], axis=1
+        )
+        target_len = seqs[modality_to_generate].shape[1]
+        for i in range(cfg.num_modalities):
+            if i == modality_to_generate:
+                continue
+            if seqs[i].shape[1] < target_len:
+                seqs[i] = jnp.concatenate([seqs[i], seqs[i][:, -1:]], axis=1)
+            elif seqs[i].shape[1] > target_len:
+                seqs[i] = seqs[i][:, :target_len]
+    return seqs

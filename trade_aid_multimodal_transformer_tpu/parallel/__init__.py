@@ -1,0 +1,25 @@
+"""Parallelism subsystem: device mesh, sharding rules, DP/TP training."""
+
+from .mesh import (
+    batch_pspec,
+    default_mesh_shape,
+    make_mesh,
+    param_pspecs,
+    shard_params,
+)
+from .trainer import (
+    make_shard_map_dp_step,
+    make_sharded_trainer,
+    shard_train_state,
+)
+
+__all__ = [
+    "batch_pspec",
+    "default_mesh_shape",
+    "make_mesh",
+    "param_pspecs",
+    "shard_params",
+    "make_shard_map_dp_step",
+    "make_sharded_trainer",
+    "shard_train_state",
+]

@@ -1,0 +1,118 @@
+"""Sharded training: compiler-partitioned (jit + NamedSharding) and explicit
+(shard_map + psum) data/tensor parallelism.
+
+Two complementary paths:
+
+1. ``make_sharded_trainer`` — the production path. Parameters and optimizer
+   state are placed on the mesh per parallel/mesh.param_pspecs (head/FFN
+   tensor parallelism over 'model'); sampled batches get a
+   with_sharding_constraint over 'data'. The whole fused train chunk then
+   compiles as one SPMD program and XLA inserts the gradient all-reduces and
+   tensor-parallel collectives over ICI.
+
+2. ``make_shard_map_dp_step`` — explicit SPMD data parallelism: each device
+   draws its own sub-batch (device-folded RNG), computes grads, and
+   ``psum``s them across 'data'. This is the explicit-collective formulation
+   (useful as a cross-check of the compiler-partitioned path and as the
+   template for custom-collective work).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..models.config import ModelConfig
+from ..models.transformer import total_loss
+from ..sampling.feed import BatchFeed
+from ..train.metrics import ModalityMetricSpec
+from ..train.steps import Trainer
+from .mesh import batch_pspec, param_pspecs, shard_params
+
+
+def make_sharded_trainer(
+    cfg: ModelConfig,
+    feed: BatchFeed,
+    optimizer: optax.GradientTransformation,
+    metric_specs: Sequence[ModalityMetricSpec],
+    eval_iters: int,
+    mesh: Mesh,
+    model_axis: bool = True,
+) -> Trainer:
+    """Trainer whose jitted programs partition over the mesh."""
+    batch_sharding = NamedSharding(mesh, batch_pspec())
+
+    def constrain(x):
+        return jax.lax.with_sharding_constraint(x, batch_sharding)
+
+    return Trainer(
+        cfg, feed, optimizer, metric_specs, eval_iters, batch_constraint=constrain
+    )
+
+
+def shard_train_state(params, optimizer, mesh: Mesh, n_head: int, model_axis: bool = True):
+    """Place params on the mesh and build optimizer state with matching
+    shardings (optax states mirror the param tree, so zeros_like inherits
+    the placements)."""
+    sharded = shard_params(params, mesh, n_head, model_axis=model_axis)
+    opt_state = optimizer.init(sharded)
+    return sharded, opt_state
+
+
+def make_shard_map_dp_step(
+    cfg: ModelConfig,
+    feed: BatchFeed,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+):
+    """Explicit-psum data-parallel train step over mesh axis 'data'.
+
+    Requires model axis size 1 (params fully replicated) and a global batch
+    divisible by the data-axis size. Each device samples
+    batch/num_devices sequences with an axis-index-folded key, so the global
+    batch is the union of per-device draws.
+    """
+    if mesh.shape.get("model", 1) != 1:
+        raise ValueError("shard_map DP path requires a data-only mesh (model=1)")
+    ndev = mesh.shape["data"]
+    if feed.batch_size % ndev != 0:
+        raise ValueError(
+            f"batch_size {feed.batch_size} not divisible by data axis {ndev}"
+        )
+    per_device_batch = feed.batch_size // ndev
+
+    def per_device(params, opt_state, key):
+        key = jax.random.fold_in(key[0], jax.lax.axis_index("data"))
+        k_batch, k_drop = jax.random.split(key)
+        xb, yb = feed._sample_impl(
+            k_batch, split="train", augment=True, batch_size=per_device_batch
+        )
+        (loss, _), grads = jax.value_and_grad(total_loss, has_aux=True)(
+            params, cfg, xb, yb, k_drop, True
+        )
+        grads = jax.lax.pmean(grads, "data")
+        loss = jax.lax.pmean(loss, "data")
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    step = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data")),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+
+    def wrapped(params, opt_state, key):
+        # one key per data-mesh row; the body folds in its axis index anyway,
+        # so content only needs to be distinct per call.
+        keys = jnp.broadcast_to(key, (ndev,) + key.shape)
+        return step(params, opt_state, keys)
+
+    return jax.jit(wrapped, donate_argnums=(0, 1))

@@ -103,16 +103,22 @@ class BatchFeed:
             int(self.val_data.shape[1]), block_size, "val", file_lengths, is_percents
         )
 
-        self._sample = jax.jit(self._sample_impl, static_argnames=("split", "augment"))
+        self._sample = jax.jit(
+            self._sample_impl, static_argnames=("split", "augment", "batch_size")
+        )
 
     # The jitted sampler: split/augment are static so each variant compiles
-    # once; data arrays are closed-over device constants.
-    def _sample_impl(self, key, split: str, augment: bool):
+    # once; data arrays are closed-over device constants. ``batch_size``
+    # overrides the configured size (used for per-device sub-batches in
+    # shard_map data parallelism).
+    def _sample_impl(self, key, split: str, augment: bool, batch_size: int = None):
         data = self.train_data if split == "train" else self.val_data
         plan = self.train_plan if split == "train" else self.val_plan
 
         key_ix, key_aug = jax.random.split(key)
-        starts = plan.sample_starts(key_ix, self.batch_size)
+        starts = plan.sample_starts(
+            key_ix, batch_size if batch_size is not None else self.batch_size
+        )
 
         # (M, B, T+1) — same starts for every modality.
         windows = jax.vmap(lambda d: gather_windows(d, starts, self.block_size))(data)
