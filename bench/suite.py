@@ -1,0 +1,217 @@
+"""Full benchmark suite against the reference baselines (BASELINE.md).
+
+Covers the measured reference numbers row by row:
+- tokenization (numerical_representation): reference 7.2M rows/s (CPU)
+- range_numeric_data: reference 0.59M rows/s
+- convert_to_percent_changes: reference 0.75M rows/s
+- bin_numeric_data (6 bins): reference 1.04M rows/s
+- per-step batch assembly at 1M-row scale: reference ~1.41 s/step/modality
+- train step rate, demo config: reference 32.6 steps/s (torch CPU)
+- train step rate, production 4-modality config (B=32, T=64, n_embd=384,
+  6 layers, 1M rows): no reference number exists (it cannot reach this scale
+  in reasonable time — ~5.7 s/step of host batching alone, SURVEY §6)
+
+Usage: python bench/suite.py [--json results.json]
+"""
+
+import argparse
+import contextlib
+import io
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np
+
+import jax
+
+RESULTS = []
+
+
+def record(name, value, unit, baseline=None):
+    vs = round(value / baseline, 2) if baseline else None
+    RESULTS.append(
+        {"metric": name, "value": round(value, 2), "unit": unit, "vs_baseline": vs}
+    )
+    vs_text = f"  ({vs}x baseline)" if vs else ""
+    print(f"  {name:<44}{value:>12.2f} {unit}{vs_text}")
+
+
+def timeit(fn, *args, repeat=3, **kw):
+    best = float("inf")
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        fn(*args, **kw)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_transforms():
+    from trade_aid_multimodal_transformer_tpu.data.transforms import (
+        bin_numeric_data,
+        convert_to_percent_changes,
+        range_numeric_data,
+    )
+    from trade_aid_multimodal_transformer_tpu.data.vocab import numerical_representation
+
+    print("\n== host data pipeline (1M rows) ==")
+    rng = np.random.default_rng(0)
+    n = 1_000_000
+    prices = rng.uniform(10, 500, n).round(2).tolist()
+
+    t = timeit(lambda: numerical_representation(prices))
+    record("tokenization (numerical_representation)", n / t / 1e6, "M rows/s", 7.2)
+
+    t = timeit(lambda: range_numeric_data(prices, 2, 1))
+    record("range_numeric_data", n / t / 1e6, "M rows/s", 0.59)
+
+    t = timeit(lambda: convert_to_percent_changes(prices, 2))
+    record("convert_to_percent_changes", n / t / 1e6, "M rows/s", 0.75)
+
+    pct = convert_to_percent_changes(prices, 2)
+    with contextlib.redirect_stdout(io.StringIO()):
+        t = timeit(lambda: bin_numeric_data(pct, 6, 5, 2.0))
+    record("bin_numeric_data (6 bins)", n / t / 1e6, "M rows/s", 1.04)
+
+
+def bench_feed():
+    from trade_aid_multimodal_transformer_tpu.sampling.feed import BatchFeed
+
+    print("\n== batch feed at 1M-row production scale ==")
+    rng = np.random.default_rng(0)
+    n = 1_000_000
+    m = 4
+    train = [rng.integers(0, 500, n - 10_000).astype(np.int32) for _ in range(m)]
+    val = [rng.integers(0, 500, 10_000).astype(np.int32) for _ in range(m)]
+    # 50-file layout like the folder-loading config
+    file_lengths = [n // 50] * 50
+    feed = BatchFeed(
+        train, val, file_lengths, block_size=64, batch_size=32,
+        is_percents=True, rand_sizes=[2, 2, None, None], vocab_sizes=[500] * 4,
+    )
+    key = jax.random.PRNGKey(0)
+    out = feed.get_batch(key, "train", True)
+    jax.block_until_ready(out)
+
+    iters = 200
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = feed.get_batch(jax.random.fold_in(key, i), "train", True)
+    jax.block_until_ready(out)
+    per_step = (time.perf_counter() - t0) / iters
+    # reference: ~1.41 s/step/modality => 5.64 s/step for 4 modalities
+    record(
+        "batch sampling+augment (4 mod, 1M rows)",
+        per_step * 1e3,
+        "ms/step",
+        None,
+    )
+    record(
+        "batch feed speedup vs reference host path", 5.64 / per_step, "x", None
+    )
+
+
+def _make_trainer(cfg, n_rows, batch_size, rand_sizes=None, eval_iters=40, lr=1e-3):
+    from trade_aid_multimodal_transformer_tpu.models.init import init_params
+    from trade_aid_multimodal_transformer_tpu.sampling.feed import BatchFeed
+    from trade_aid_multimodal_transformer_tpu.train.metrics import build_metric_specs
+    from trade_aid_multimodal_transformer_tpu.train.steps import Trainer, make_optimizer
+
+    rng = np.random.default_rng(0)
+    m = cfg.num_modalities
+    n_val = max(4 * cfg.block_size, n_rows // 10)
+    train = [
+        rng.integers(0, v, n_rows - n_val).astype(np.int32) for v in cfg.vocab_sizes
+    ]
+    val = [rng.integers(0, v, n_val).astype(np.int32) for v in cfg.vocab_sizes]
+    feed = BatchFeed(
+        train, val, [n_rows], cfg.block_size, batch_size,
+        is_percents=False,
+        rand_sizes=rand_sizes or [None] * m,
+        vocab_sizes=list(cfg.vocab_sizes),
+    )
+    specs = build_metric_specs(
+        [np.linspace(-1, 1, v).tolist() for v in cfg.vocab_sizes],
+        [False] * m, cfg.block_size,
+    )
+    optimizer = make_optimizer(lr)
+    trainer = Trainer(cfg, feed, optimizer, specs, eval_iters)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    return trainer, params, optimizer.init(params)
+
+
+def bench_train():
+    from trade_aid_multimodal_transformer_tpu.models.config import ModelConfig
+
+    print(f"\n== training ({jax.default_backend()}) ==")
+
+    # demo-scale config (the reference's measured 32.6 steps/s)
+    cfg = ModelConfig(
+        vocab_sizes=(57, 3), cross_attention=(True, False),
+        n_embd=32, n_head=4, n_layer=2, block_size=4, dropout=0.1,
+    )
+    trainer, params, opt_state = _make_trainer(cfg, 100, 4)
+    chunk = 512
+    params, opt_state, l = trainer.train_chunk(params, opt_state, jax.random.PRNGKey(0), chunk)
+    jax.block_until_ready(l)
+    t0 = time.perf_counter()
+    params, opt_state, l = trainer.train_chunk(params, opt_state, jax.random.PRNGKey(1), chunk)
+    jax.block_until_ready(l)
+    t = time.perf_counter() - t0
+    record("train steps/s (demo config)", chunk / t, "steps/s", 32.6)
+
+    # production 4-modality config at 1M rows
+    cfg_p = ModelConfig(
+        vocab_sizes=(500, 120, 24, 48), cross_attention=(True, True, False, False),
+        n_embd=384, n_head=6, n_layer=6, block_size=64, dropout=0.2,
+    )
+    trainer, params, opt_state = _make_trainer(
+        cfg_p, 1_000_000, 32, rand_sizes=[2, 2, None, None]
+    )
+    chunk = 50
+    params, opt_state, l = trainer.train_chunk(params, opt_state, jax.random.PRNGKey(0), chunk)
+    jax.block_until_ready(l)
+    t0 = time.perf_counter()
+    params, opt_state, l = trainer.train_chunk(params, opt_state, jax.random.PRNGKey(1), chunk)
+    jax.block_until_ready(l)
+    t = time.perf_counter() - t0
+    sps = chunk / t
+    record("train steps/s (production 4-mod config)", sps, "steps/s", None)
+    record(
+        "training throughput (production)",
+        sps * 32 * 64 * 4 / 1e6,
+        "M tokens/s",
+        None,
+    )
+
+    # eval pass (fused, with on-device directional metrics)
+    stats = trainer.eval_pass(params, jax.random.PRNGKey(2), "val")
+    jax.block_until_ready(stats.mean_loss)
+    t0 = time.perf_counter()
+    stats = trainer.eval_pass(params, jax.random.PRNGKey(3), "val")
+    jax.block_until_ready(stats.mean_loss)
+    t = time.perf_counter() - t0
+    record("eval pass, 40 iters (production)", t * 1e3, "ms", None)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--json", type=str, default=None)
+    args = parser.parse_args()
+
+    print(f"devices: {jax.devices()}")
+    bench_transforms()
+    bench_feed()
+    bench_train()
+
+    if args.json:
+        Path(args.json).write_text(json.dumps(RESULTS, indent=2))
+        print(f"\nwrote {args.json}")
+
+
+if __name__ == "__main__":
+    main()

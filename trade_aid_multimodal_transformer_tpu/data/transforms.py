@@ -30,6 +30,20 @@ ArrayLike = Union[Sequence, np.ndarray]
 _rng = np.random.default_rng()
 
 
+def _round_list(values: np.ndarray, dp: int) -> List[float]:
+    """Correctly-rounded decimal rounding of a float64 array, as a list.
+
+    Uses the native C++ kernel (runtime/native.py, bit-identical to Python
+    round and ~100x faster) when available, else Python round element-wise.
+    """
+    from ..runtime import native
+
+    out = native.round_decimal(values, dp)
+    if out is not None:
+        return out.tolist()
+    return [round(v, dp) for v in values.tolist()]
+
+
 def _validate_numeric_list(data, name: str = "data", error_cls=ValueError):
     """Raise when any element is non-numeric, matching reference messages
     (reference: data_utils.py:400-402, 492-494, 634-636)."""
@@ -84,6 +98,18 @@ def convert_to_percent_changes(data: ArrayLike, decimal_places: Optional[int] = 
     if arr.size == 1:
         return [0.0]
 
+    from ..runtime import native
+
+    res = native.percent_changes(arr, decimal_places)
+    if res is not None:
+        out_arr, _, first_zero = res
+        if first_zero >= 0:
+            raise ZeroDivisionError(
+                "Cannot calculate percentage change: previous value is zero at "
+                f"index {first_zero}."
+            )
+        return out_arr.tolist()
+
     prev = arr[:-1]
     zero_mask = prev == 0
     if zero_mask.any():
@@ -94,8 +120,7 @@ def convert_to_percent_changes(data: ArrayLike, decimal_places: Optional[int] = 
 
     changes = ((arr[1:] - prev) / prev) * 100.0
     out = [0.0]
-    dp = decimal_places
-    out.extend(round(v, dp) for v in changes.tolist())
+    out.extend(_round_list(changes, decimal_places))
     return out
 
 
@@ -132,23 +157,33 @@ def percent_changes_lenient(
     if arr.size == 1:
         return [0.0]
 
-    prev = arr[:-1]
-    zero_mask = prev == 0
-    for j in np.nonzero(zero_mask)[0]:
-        i = int(j) + 1
+    from ..runtime import native
+
+    def _warn(i):
         print(
             f"Warning: Zero value found at index {i-1} in file '{filename}' causes "
             f"division by zero. Skipping percentage calculation for index {i}. "
             f"Using 0.0% change instead."
         )
 
+    res = native.percent_changes(arr, decimal_places)
+    if res is not None:
+        out_arr, zmask, _ = res
+        for j in np.nonzero(zmask[1:])[0]:
+            _warn(int(j) + 1)
+        return out_arr.tolist()
+
+    prev = arr[:-1]
+    zero_mask = prev == 0
+    for j in np.nonzero(zero_mask)[0]:
+        _warn(int(j) + 1)
+
     with np.errstate(divide="ignore", invalid="ignore"):
         changes = ((arr[1:] - prev) / prev) * 100.0
-    dp = decimal_places
     out = [0.0]
-    zl = zero_mask.tolist()
+    rounded = _round_list(changes, decimal_places)
     out.extend(
-        0.0 if z else round(v, dp) for v, z in zip(changes.tolist(), zl)
+        0.0 if z else r for r, z in zip(rounded, zero_mask.tolist())
     )
     return out
 
@@ -240,7 +275,22 @@ def range_numeric_data(
 
     if num_whole_digits is None:
         # Pure rounding path: scaling_factor stays 1.
-        return [round(v, adp) for v in arr.tolist()]
+        return _round_list(arr, adp)
+
+    from ..runtime import native
+
+    res = native.range_numeric(arr, num_whole_digits, adp)
+    if res is not None:
+        vals, clip_lower_m, clip_upper_m = res
+        out = vals.tolist()
+        lower = 10 ** (num_whole_digits - 1)
+        upper_int = 10 ** num_whole_digits - 1
+        neg = arr < 0
+        for i in np.nonzero(clip_lower_m)[0]:
+            out[i] = -lower if neg[i] else lower
+        for i in np.nonzero(clip_upper_m)[0]:
+            out[i] = -upper_int if neg[i] else upper_int
+        return out
 
     with np.errstate(divide="ignore", invalid="ignore"):
         powers = np.floor(np.log10(np.abs(arr)))
@@ -249,7 +299,7 @@ def range_numeric_data(
     scaling = np.power(10.0, exps)
     scaled_raw = arr * scaling
 
-    rounded = [round(v, adp) for v in scaled_raw.tolist()]
+    rounded = _round_list(scaled_raw, adp)
     a = np.abs(np.asarray(rounded, dtype=np.float64))
 
     lower = 10 ** (num_whole_digits - 1)
@@ -334,16 +384,19 @@ def bin_numeric_data(
     pos_b = np.concatenate(([0.0], np.power(idx, float(exponent)) * max_abs_value))
     neg_b = np.concatenate((-pos_b[1:][::-1], [0.0]))
 
-    out = np.zeros(arr.size, dtype=np.int64)
-    pos_mask = arr > 0
-    neg_mask = arr < 0
+    from ..runtime import native
 
-    if pos_mask.any():
-        g = np.searchsorted(pos_b, arr[pos_mask], side="right")
-        out[pos_mask] = np.minimum(g, G)
-    if neg_mask.any():
-        g = np.searchsorted(neg_b, arr[neg_mask], side="right")
-        out[neg_mask] = np.maximum(g - 1, 0) - G
+    out = native.bin_assign(arr, pos_b)
+    if out is None:
+        out = np.zeros(arr.size, dtype=np.int64)
+        pos_mask = arr > 0
+        neg_mask = arr < 0
+        if pos_mask.any():
+            g = np.searchsorted(pos_b, arr[pos_mask], side="right")
+            out[pos_mask] = np.minimum(g, G)
+        if neg_mask.any():
+            g = np.searchsorted(neg_b, arr[neg_mask], side="right")
+            out[neg_mask] = np.maximum(g - 1, 0) - G
 
     # --- binning breakdown display (reference: data_utils.py:562-607) ---
     uniq, counts = np.unique(out, return_counts=True)

@@ -524,6 +524,12 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
         print(f"Saved: Model checkpoint ({round(size/1024**2, 2)} MB) | {current_time}")
         print()
 
+    from ..utils.profiling import StepTimer, profile_dir_from_env, trace
+
+    timer = StepTimer()
+    profile_dir = profile_dir_from_env()
+    chunks_run = 0
+
     it = 0
     stopped = False
     while it < max_iters and not stopped:
@@ -545,10 +551,26 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
         nxt = min(b for b in next_boundaries if b > it)
         n_steps = nxt - it
         master_key, chunk_key = jax.random.split(master_key)
-        params, opt_state, _ = trainer.train_chunk(params, opt_state, chunk_key, n_steps)
+        timer.start()
+        # profile the second chunk (the first includes compilation)
+        if profile_dir and chunks_run == 1:
+            with trace(profile_dir):
+                params, opt_state, step_losses = trainer.train_chunk(
+                    params, opt_state, chunk_key, n_steps
+                )
+                jax.block_until_ready(step_losses)
+        else:
+            params, opt_state, step_losses = trainer.train_chunk(
+                params, opt_state, chunk_key, n_steps
+            )
+        jax.block_until_ready(step_losses)
+        timer.stop(n_steps)
+        chunks_run += 1
         it = nxt
 
     print("\nTRAINING COMPLETED SUCCESSFULLY")
+    if os.environ.get("TAT_TIMING") and timer.steps:
+        print(f"Training rate: {timer.summary()}")
 
     if save_model:
         current_time = datetime.now().strftime("%H:%M:%S")
