@@ -29,6 +29,10 @@ class ModelConfig:
     block_size: int = 4
     dropout: float = 0.0
     attn_impl: str = "auto"
+    # 'float32' (exact reference parity) or 'bfloat16' (mixed precision:
+    # f32 master params, bf16 activations/matmul inputs, f32 accumulation,
+    # f32 layernorm/softmax/loss — the standard TPU recipe).
+    compute_dtype: str = "float32"
 
     def __post_init__(self):
         object.__setattr__(self, "vocab_sizes", tuple(int(v) for v in self.vocab_sizes))
@@ -52,6 +56,12 @@ class ModelConfig:
     @property
     def num_modalities(self) -> int:
         return len(self.vocab_sizes)
+
+    @property
+    def cdtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
     @property
     def head_size(self) -> int:

@@ -39,25 +39,43 @@ from ..ops.layers import KeyGen, dropout, layernorm
 from .config import ModelConfig
 
 
+def _bf16_mixed_dot_supported() -> bool:
+    # CPU XLA lacks BF16 x BF16 = F32 dot support; TPU has it natively.
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _mm(eq, a, b):
+    """einsum with >=f32 accumulation, result in the activation dtype."""
+    if a.dtype == jnp.bfloat16 and not _bf16_mixed_dot_supported():
+        out = jnp.einsum(eq, a.astype(jnp.float32), b.astype(jnp.float32))
+        return out.astype(jnp.bfloat16)
+    acc = jnp.float64 if a.dtype == jnp.float64 else jnp.float32
+    return jnp.einsum(eq, a, b.astype(a.dtype), preferred_element_type=acc).astype(a.dtype)
+
+
 def _qkv_project(h: jax.Array, w1, b1, w2, H: int, hs2: int) -> jax.Array:
     """Factored tanh-MLP projection for all modalities/heads at once.
 
     h: (M, B, T, C) -> (M, B, H, T, hs)
     """
     M, B, T, _ = h.shape
-    t = jnp.einsum("mbtc,mcd->mbtd", h, w1) + b1[:, None, None, :]
+    t = _mm("mbtc,mcd->mbtd", h, w1) + b1.astype(h.dtype)[:, None, None, :]
     t = jnp.tanh(t).reshape(M, B, T, H, hs2)
-    out = jnp.einsum("mbthd,mhde->mbthe", t, w2)
+    out = _mm("mbthd,mhde->mbthe", t, w2)
     return out.transpose(0, 1, 3, 2, 4)  # (M, B, H, T, hs)
 
 
 def _proj_mlp(out: jax.Array, w1, b1, w2, b2) -> jax.Array:
     """tanh-MLP output projection, broadcasting over stacked leading dims."""
+    dt = out.dtype
     if w1.ndim == 3:  # stacked over modality: (M, ...)
-        t = jnp.tanh(jnp.einsum("mbtd,mde->mbte", out, w1) + b1[:, None, None, :])
-        return jnp.einsum("mbte,mec->mbtc", t, w2) + b2[:, None, None, :]
-    t = jnp.tanh(out @ w1 + b1)
-    return t @ w2 + b2
+        t = jnp.tanh(_mm("mbtd,mde->mbte", out, w1) + b1.astype(dt)[:, None, None, :])
+        return _mm("mbte,mec->mbtc", t, w2) + b2.astype(dt)[:, None, None, :]
+    t = jnp.tanh(_mm("...d,de->...e", out, w1) + b1.astype(dt))
+    return _mm("...e,ec->...c", t, w2) + b2.astype(dt)
 
 
 def self_attention(
@@ -105,8 +123,8 @@ def cross_attention(
     B, T, C = query_x.shape
     H, hs = cfg.n_head, cfg.head_size
 
-    q = jnp.einsum("btc,hce->bhte", query_x, cp["q_w"])          # (B,H,T,hs)
-    kv = jnp.einsum("jbtc,jhcf->jbhtf", kv_x, cp["kv_w"])        # (J,B,H,T,2hs)
+    q = _mm("btc,hce->bhte", query_x, cp["q_w"])          # (B,H,T,hs)
+    kv = _mm("jbtc,jhcf->jbhtf", kv_x, cp["kv_w"])        # (J,B,H,T,2hs)
     k, v = jnp.split(kv, 2, axis=-1)
 
     # Broadcast the single query stream against J KV streams; the sum over J
@@ -129,9 +147,10 @@ def feed_forward(
     x_norm: jax.Array, ff: Dict[str, jax.Array], cfg: ModelConfig, keys: KeyGen, train: bool
 ) -> jax.Array:
     """C -> 4C -> ReLU -> C -> dropout (reference: model.py:162-175)."""
-    h = jnp.einsum("mbtc,mcd->mbtd", x_norm, ff["w1"]) + ff["b1"][:, None, None, :]
+    dt = x_norm.dtype
+    h = _mm("mbtc,mcd->mbtd", x_norm, ff["w1"]) + ff["b1"].astype(dt)[:, None, None, :]
     h = jax.nn.relu(h)
-    h = jnp.einsum("mbtd,mdc->mbtc", h, ff["w2"]) + ff["b2"][:, None, None, :]
+    h = _mm("mbtd,mdc->mbtc", h, ff["w2"]) + ff["b2"].astype(dt)[:, None, None, :]
     return dropout(h, cfg.dropout, keys(), train)
 
 
@@ -182,7 +201,10 @@ def embed(params: Dict[str, Any], cfg: ModelConfig, idx: jax.Array) -> jax.Array
         params["pre"]["tok_emb"][m][idx[m]] + pos
         for m in range(cfg.num_modalities)
     ]
-    return jnp.stack(xs)
+    x = jnp.stack(xs)
+    if cfg.compute_dtype == "bfloat16":
+        x = x.astype(jnp.bfloat16)
+    return x
 
 
 def logits_heads(
@@ -194,7 +216,10 @@ def logits_heads(
     for m in range(cfg.num_modalities):
         h = layernorm(x[m], post["ln_scale"][m], post["ln_bias"][m])
         head = post["heads"][m]
-        out.append(_proj_mlp(h, head["w1"], head["b1"], head["w2"], head["b2"]))
+        logits = _proj_mlp(h, head["w1"], head["b1"], head["w2"], head["b2"])
+        if logits.dtype == jnp.bfloat16:
+            logits = logits.astype(jnp.float32)
+        out.append(logits)
     return out
 
 

@@ -44,13 +44,31 @@ def causal_attention_jnp(
     """
     t_q = q.shape[-2]
     t_k = k.shape[-2]
+    dt = q.dtype
+    if dt == jnp.bfloat16:
+        try:
+            on_cpu = jax.default_backend() == "cpu"
+        except Exception:  # pragma: no cover
+            on_cpu = True
+        if on_cpu:
+            # CPU XLA lacks BF16 x BF16 = F32 dots; compute in f32 there.
+            out = causal_attention_jnp(
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32), dropout_rate, dropout_key, train,
+            )
+            return out.astype(dt)
+    acc = jnp.float64 if dt == jnp.float64 else jnp.float32
     scale = k.shape[-1] ** -0.5
-    aff = jnp.matmul(q, jnp.swapaxes(k, -1, -2)) * scale
+    # scores accumulate and softmax in >=f32 (mixed-precision stability)
+    aff = jnp.matmul(
+        q, jnp.swapaxes(k, -1, -2), preferred_element_type=acc
+    ) * scale
     mask = jnp.tril(jnp.ones((t_q, t_k), dtype=bool))
     aff = jnp.where(mask, aff, -jnp.inf)
-    aff = jax.nn.softmax(aff, axis=-1)
+    aff = jax.nn.softmax(aff.astype(acc), axis=-1)
     aff = _dropout(aff, dropout_rate, dropout_key, train)
-    return jnp.matmul(aff, v)
+    out = jnp.matmul(aff.astype(dt), v, preferred_element_type=acc)
+    return out.astype(dt)
 
 
 def causal_attention(

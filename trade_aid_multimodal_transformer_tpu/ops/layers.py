@@ -17,17 +17,25 @@ LN_EPS = 1e-5
 
 def layernorm(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:
     """LayerNorm over the trailing feature axis; scale/bias broadcast from the
-    left (supports per-modality stacked (M, C) params against (M, B, T, C))."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    left (supports per-modality stacked (M, C) params against (M, B, T, C)).
+
+    Statistics always compute in f32 (mixed-precision stability); the result
+    returns in the activation dtype."""
+    dt = x.dtype
+    acc = jnp.float64 if dt == jnp.float64 else jnp.float32
+    xf = x.astype(acc)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     inv = jax.lax.rsqrt(var + LN_EPS)
-    normed = (x - mean) * inv
+    normed = (xf - mean) * inv
+    scale = scale.astype(acc)
+    bias = bias.astype(acc)
     if scale.ndim < x.ndim and scale.ndim > 1:
         # (M, C) -> (M, 1, 1, C) style broadcast
         expand = (slice(None),) + (None,) * (x.ndim - scale.ndim) + (slice(None),)
         scale = scale[expand]
         bias = bias[expand]
-    return normed * scale + bias
+    return (normed * scale + bias).astype(dt)
 
 
 def dropout(
