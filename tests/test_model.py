@@ -159,3 +159,43 @@ class TestGenerate:
                        modality_to_generate=1)
         assert int(np.asarray(out[1]).max()) < 7
         assert out[1].shape[1] == 7
+
+
+class TestFastGenerate:
+    """The fused-scan sampler must match the step-by-step reference port
+    token-for-token (same forward, same PRNG split schedule)."""
+
+    def _stacked(self, cfg, key, B, T):
+        ks = jax.random.split(key, cfg.num_modalities)
+        return jnp.stack(
+            [
+                jax.random.randint(ks[m], (B, T), 0, cfg.vocab_sizes[m])
+                for m in range(cfg.num_modalities)
+            ]
+        )
+
+    @pytest.mark.parametrize("t0,new", [(6, 4), (8, 5), (3, 7), (2, 2)])
+    def test_matches_reference_generate(self, cfg, params, t0, new):
+        from trade_aid_multimodal_transformer_tpu.models.sampler import generate_fast
+
+        idx = self._stacked(cfg, jax.random.PRNGKey(42), B=2, T=t0)
+        key = jax.random.PRNGKey(7)
+        slow = generate(params, cfg, list(idx), key, max_new_tokens=new,
+                        modality_to_generate=0)
+        fast = generate_fast(params, cfg, idx, key, max_new_tokens=new,
+                             modality_to_generate=0)
+        assert fast.shape == (cfg.num_modalities, 2, t0 + new)
+        for m in range(cfg.num_modalities):
+            np.testing.assert_array_equal(np.asarray(slow[m]), np.asarray(fast[m]))
+
+    def test_other_modality_repeats_last_token(self, cfg, params):
+        from trade_aid_multimodal_transformer_tpu.models.sampler import generate_fast
+
+        idx = self._stacked(cfg, jax.random.PRNGKey(1), B=2, T=cfg.block_size)
+        out = generate_fast(params, cfg, idx, jax.random.PRNGKey(2),
+                            max_new_tokens=3, modality_to_generate=0)
+        # modality 1 extends by repeating its own last token
+        np.testing.assert_array_equal(
+            np.asarray(out[1][:, -3:]),
+            np.broadcast_to(np.asarray(idx[1][:, -1:]), (2, 3)),
+        )

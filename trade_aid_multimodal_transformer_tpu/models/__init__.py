@@ -4,6 +4,7 @@ parameter pytree."""
 from .config import ModelConfig
 from .init import count_params, init_params
 from .param_count import estimate_model_params
+from .sampler import generate_fast
 from .transformer import forward, generate, total_loss
 
 __all__ = [
@@ -13,5 +14,6 @@ __all__ = [
     "estimate_model_params",
     "forward",
     "generate",
+    "generate_fast",
     "total_loss",
 ]
