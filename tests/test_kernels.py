@@ -1,10 +1,11 @@
 """Pallas kernel equivalence tests (interpret mode on CPU).
 
-The flash kernel must match the dense jnp core bit-closely in f32; the
-custom-VJP backward must match the dense gradient exactly (it recomputes the
-dense form). On-TPU equivalence was additionally measured at ~7e-3 max diff
-(bf16-input matmul noise affecting both paths) with 1.1-1.2x dense speed at
-T >= 1024 and O(T) memory.
+The flash kernel must match the dense jnp core bit-closely in f32 — values
+AND gradients: the custom VJP runs blockwise dQ / dK+dV kernels (no dense
+T×T materialization in either direction), so gradient equivalence against
+the dense core pins the backward kernels' math. On-TPU equivalence was
+additionally measured at ~7e-3 max diff (bf16-input matmul noise affecting
+both paths) with 1.1-1.2x dense speed at T >= 1024 and O(T) memory.
 """
 
 import jax
@@ -19,6 +20,7 @@ from trade_aid_multimodal_transformer_tpu.ops.attention import (
 from trade_aid_multimodal_transformer_tpu.ops.pallas_attention import (
     flash_attention_eligible,
     flash_causal_attention,
+    flash_cross_attention,
 )
 
 
@@ -45,8 +47,9 @@ class TestFlashEquivalence:
         out = flash_causal_attention(q, k, v, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
-    def test_gradients_match_dense(self):
-        q, k, v = qkv(2, 256, 16, seed=7)
+    @pytest.mark.parametrize("n,t,hs", [(2, 256, 16), (1, 512, 32), (3, 384, 8)])
+    def test_gradients_match_dense(self, n, t, hs):
+        q, k, v = qkv(n, t, hs, seed=7 + t)
 
         def loss_flash(q, k, v):
             return (flash_causal_attention(q, k, v, interpret=True) ** 2).sum()
@@ -56,6 +59,22 @@ class TestFlashEquivalence:
 
         gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
         gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gd):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+    def test_gradients_weighted_cotangent(self):
+        # non-uniform upstream gradient exercises the delta = rowsum(dO∘O) path
+        q, k, v = qkv(2, 256, 16, seed=21)
+        w = jax.random.normal(jax.random.PRNGKey(5), (2, 256, 16))
+
+        gf = jax.grad(
+            lambda q, k, v: (flash_causal_attention(q, k, v, interpret=True) * w).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        gd = jax.grad(
+            lambda q, k, v: (causal_attention_jnp(q, k, v) * w).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
         for a, b in zip(gf, gd):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
@@ -70,6 +89,30 @@ class TestFlashEquivalence:
             np.asarray(out_a[:, :-1]), np.asarray(out_b[:, :-1]), atol=1e-6
         )
         assert not np.allclose(np.asarray(out_a[:, -1]), np.asarray(out_b[:, -1]))
+
+
+class TestFlashCross:
+    """The fused cross-attention kernel must equal per-stream dense attention
+    summed over streams (reference semantics: model.py:119-159)."""
+
+    @pytest.mark.parametrize("j,n,t,hs", [(2, 2, 256, 16), (3, 1, 256, 32)])
+    def test_matches_dense_sum(self, j, n, t, hs):
+        ks = jax.random.split(jax.random.PRNGKey(j * 10 + n), 3)
+        q = jax.random.normal(ks[0], (n, t, hs), jnp.float32)
+        k = jax.random.normal(ks[1], (j, n, t, hs), jnp.float32)
+        v = jax.random.normal(ks[2], (j, n, t, hs), jnp.float32)
+        ref = causal_attention_jnp(q[None], k, v).sum(axis=0)
+        out = flash_cross_attention(q, k, v, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    def test_multi_leading_dims(self):
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        q = jax.random.normal(ks[0], (2, 4, 256, 16), jnp.float32)  # (B,H,T,hs)
+        k = jax.random.normal(ks[1], (3, 2, 4, 256, 16), jnp.float32)
+        v = jax.random.normal(ks[2], (3, 2, 4, 256, 16), jnp.float32)
+        ref = causal_attention_jnp(q[None], k, v).sum(axis=0)
+        out = flash_cross_attention(q, k, v, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
 class TestDispatch:

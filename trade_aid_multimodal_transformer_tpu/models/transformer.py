@@ -34,7 +34,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import causal_attention
+from ..ops.attention import causal_attention, cross_causal_attention
 from ..ops.layers import KeyGen, dropout, layernorm
 from .config import ModelConfig
 
@@ -127,16 +127,15 @@ def cross_attention(
     kv = _mm("jbtc,jhcf->jbhtf", kv_x, cp["kv_w"])        # (J,B,H,T,2hs)
     k, v = jnp.split(kv, 2, axis=-1)
 
-    # Broadcast the single query stream against J KV streams; the sum over J
-    # (reference: model.py:158) happens after the per-stream attention.
-    att = causal_attention(
-        q[None], k, v,
+    # One query stream against J KV streams, summed over J (reference:
+    # model.py:158) — fused in-kernel on TPU when shapes are eligible.
+    att = cross_causal_attention(
+        q, k, v,
         dropout_rate=cfg.dropout,
         dropout_key=keys(),
         train=train,
         impl=cfg.attn_impl,
-    )  # (J, B, H, T, hs)
-    att = att.sum(axis=0)
+    )  # (B, H, T, hs)
 
     out = att.transpose(0, 2, 1, 3).reshape(B, T, H * hs)
     out = _proj_mlp(out, cp["proj_w1"], cp["proj_b1"], cp["proj_w2"], cp["proj_b2"])

@@ -96,6 +96,32 @@ def causal_attention(
     raise ValueError(f"Unknown attention impl: {impl}")
 
 
+def cross_causal_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    dropout_rate: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
+    train: bool = False,
+    impl: str = "auto",
+) -> jax.Array:
+    """Causal attention of one query stream against J KV streams, SUMMED
+    over streams (the model's cross-attention core; reference: model.py:158).
+
+    q: (..., T, hs); k, v: (J, ..., T, hs). On TPU with kernel-eligible
+    shapes and no attention dropout this fuses the per-stream attention and
+    the stream sum into one Pallas kernel (ops/pallas_attention.py); else it
+    broadcasts q against the streams in the dense core and sums.
+    """
+    if impl in ("auto", "pallas") and not (train and dropout_rate > 0.0):
+        from .pallas_attention import flash_cross_attention, flash_cross_eligible
+
+        if flash_cross_eligible(q, k, v) and (impl == "pallas" or _on_tpu()):
+            return flash_cross_attention(q, k, v)
+    out = causal_attention_jnp(q[None], k, v, dropout_rate, dropout_key, train)
+    return out.sum(axis=0)
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"

@@ -1,27 +1,38 @@
-"""Blockwise (flash) causal attention as a Pallas TPU kernel.
+"""Blockwise (flash) causal attention as Pallas TPU kernels.
 
 The reference materializes the full (T, T) affinity matrix per head in HBM
 (reference: model.py:65-72). For the shipped tiny block sizes (4-64) that is
 irrelevant, but this framework targets production/serving scale where T
 reaches thousands — there the dense form is HBM-bandwidth-bound and O(T²)
-memory. This kernel computes softmax(q·kᵀ/√d)·v blockwise with the online
+memory. These kernels compute softmax(q·kᵀ/√d)·v blockwise with the online
 (running max / running sum) reformulation, never writing the affinity matrix
 to HBM, and skipping fully-masked key blocks (upper triangle) entirely —
 ≈2× fewer FLOPs than the dense form on top of the memory win.
 
-Grid: (N, T/BQ) where N collapses all leading dims (modality, batch, head).
-Each program holds one query block in VMEM and streams key/value blocks for
-its row; the causal structure bounds the inner loop at the diagonal block.
+Forward grid: (N, T/BQ) where N collapses all leading dims (modality, batch,
+head). Each program holds one query block in VMEM and streams key/value
+blocks for its row; the causal structure bounds the inner loop at the
+diagonal block. The forward also emits the per-row logsumexp L = m + log(l)
+so the backward can reconstruct P = exp(S − L) blockwise.
 
-Backward: recompute-based custom VJP — the forward saves only (out, q, k, v)
-and the backward re-derives gradients with the dense jnp formulation under
-remat-style recomputation. A fully blockwise backward kernel is a later
-optimization; this keeps training numerics exact while the forward already
-runs blockwise.
+Backward: two blockwise kernels in the FlashAttention-2 style —
+  dQ kernel, grid (N, T/BQ): for query block i, stream key blocks j ≤ i,
+    recompute P from (q, k, L), dS = P ∘ (dO·Vᵀ − D), dQ_i += dS·K·scale
+  dK/dV kernel, grid (N, T/BK): for key block j, stream query blocks i ≥ j,
+    dV_j += Pᵀ·dO, dK_j += dSᵀ·Q·scale
+where D = rowsum(dO ∘ O) is a cheap elementwise pass outside the kernels.
+Nothing of size T² ever touches HBM in either direction.
+
+Cross-attention variant: the model's cross-attention attends one query
+stream against J KV streams and SUMS the per-stream outputs (reference:
+model.py:119-159). ``flash_cross_attention`` fuses that sum into the kernel:
+grid (J, N, T/BQ) with the output block mapped to the same location for
+every j — the kernel initializes at j==0 and accumulates afterward, so the
+per-stream attention outputs are never materialized separately.
 
 Numerics: f32 accumulation (preferred_element_type), exact softmax (no
-approximations); equivalence with the dense jnp core is pinned by
-tests/test_kernels.py in interpret mode and on-TPU.
+approximations); equivalence with the dense jnp core — values AND gradients —
+is pinned by tests/test_kernels.py in interpret mode and on-TPU.
 """
 
 from __future__ import annotations
@@ -42,7 +53,12 @@ MIN_FLASH_SEQ_LEN = 256  # below this the dense core is faster (tiny matmuls)
 _NEG_INF = float("-inf")
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, bq: int, bk: int, scale: float):
+# --------------------------------------------------------------------- forward
+
+
+def _flash_fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, bq: int, bk: int, scale: float
+):
     """One (sequence-row, query-block) program of causal flash attention."""
     iq = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32)  # (bq, hs)
@@ -85,28 +101,38 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, bq: int, bk: int, scale: float)
     # only key blocks at or before the diagonal block contribute
     num_kv_blocks = jnp.minimum((q_offset + bq + bk - 1) // bk, t_k // bk)
     m, l, acc = jax.lax.fori_loop(0, num_kv_blocks, body, (m0, l0, acc0))
-    # replace running max with final softmax normalization
-    del m
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    # logsumexp of each row's scores — the backward's softmax reconstruction
+    lse_ref[0] = (m + jnp.log(l))[:, 0]
 
 
-def _flash_forward(q, k, v, bq: int, bk: int, interpret: bool) -> jax.Array:
-    """q, k, v: (N, T, hs) — leading dims already collapsed."""
+def _flash_forward(
+    q, k, v, bq: int, bk: int, interpret: bool
+) -> Tuple[jax.Array, jax.Array]:
+    """q, k, v: (N, T, hs) — leading dims already collapsed.
+
+    Returns (out (N, T, hs), logsumexp (N, T))."""
     n, t, hs = q.shape
     scale = hs ** -0.5
-    kernel = functools.partial(_flash_kernel, bq=bq, bk=bk, scale=scale)
+    kernel = functools.partial(_flash_fwd_kernel, bq=bq, bk=bk, scale=scale)
 
     grid = (n, t // bq)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((n, t), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, hs), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, t, hs), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, t, hs), lambda i, j: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, hs), lambda i, j: (i, j, 0)),
+        out_specs=(
+            pl.BlockSpec((1, bq, hs), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, bq), lambda i, j: (i, j)),
+        ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * n * t * t * hs // 2,  # qk^T + pv over the causal half
@@ -116,40 +142,341 @@ def _flash_forward(q, k, v, bq: int, bk: int, interpret: bool) -> jax.Array:
     )(q, k, v)
 
 
-def _dense_reference(q, k, v):
-    """Dense causal attention used for the recompute backward."""
-    t_q, t_k = q.shape[-2], k.shape[-2]
-    scale = k.shape[-1] ** -0.5
-    s = jnp.matmul(q, jnp.swapaxes(k, -1, -2)) * scale
-    mask = jnp.tril(jnp.ones((t_q, t_k), dtype=bool))
-    s = jnp.where(mask, s, _NEG_INF)
-    p = jax.nn.softmax(s, axis=-1)
-    return jnp.matmul(p, v)
+# -------------------------------------------------------------------- backward
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, bq: int, bk: int, scale: float,
+):
+    """dQ for one query block: stream key blocks up to the diagonal."""
+    iq = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)            # (bq, hs)
+    do = do_ref[0].astype(jnp.float32)          # (bq, hs)
+    lse = lse_ref[0][:, None]                   # (bq, 1)
+    delta = delta_ref[0][:, None]               # (bq, 1)
+    hs = q.shape[-1]
+    t_k = k_ref.shape[1]
+    q_offset = iq * bq
+
+    def body(jk, dq):
+        k_blk = k_ref[0, pl.ds(jk * bk, bk), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(jk * bk, bk), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + q_offset
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + jk * bk
+        mask = rows >= cols
+        # exp(-inf - lse) = 0 handles the masked entries exactly
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do, v_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(
+            ds, k_blk, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    num_kv_blocks = jnp.minimum((q_offset + bq + bk - 1) // bk, t_k // bk)
+    dq = jax.lax.fori_loop(
+        0, num_kv_blocks, body, jnp.zeros((bq, hs), jnp.float32)
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, bq: int, bk: int, scale: float,
+):
+    """dK/dV for one key block: stream query blocks from the diagonal down."""
+    jk = pl.program_id(1)
+    k_blk = k_ref[0].astype(jnp.float32)        # (bk, hs)
+    v_blk = v_ref[0].astype(jnp.float32)        # (bk, hs)
+    hs = k_blk.shape[-1]
+    t_q = q_ref.shape[1]
+    k_offset = jk * bk
+    n_q_blocks = t_q // bq
+
+    def body(iq, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(iq * bq, bq), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(iq * bq, bq), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(iq * bq, bq)][:, None]
+        delta = delta_ref[0, pl.ds(iq * bq, bq)][:, None]
+        s = jax.lax.dot_general(
+            q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (bq, bk)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + iq * bq
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + k_offset
+        p = jnp.where(rows >= cols, jnp.exp(s - lse), 0.0)
+        dv = dv + jax.lax.dot_general(
+            p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        dk = dk + jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        return dk, dv
+
+    # only query blocks at or after this key block's diagonal contribute
+    first_q_block = k_offset // bq
+    dk, dv = jax.lax.fori_loop(
+        first_q_block,
+        n_q_blocks,
+        body,
+        (jnp.zeros((bk, hs), jnp.float32), jnp.zeros((bk, hs), jnp.float32)),
+    )
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, out, lse, g, bq, bk, interpret):
+    n, t, hs = q.shape
+    scale = hs ** -0.5
+    # D = rowsum(dO ∘ O) — one elementwise pass, fused by XLA
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, bq=bq, bk=bk, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(n, t // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, hs), lambda i, j: (i, j, 0)),   # q
+            pl.BlockSpec((1, t, hs), lambda i, j: (i, 0, 0)),    # k
+            pl.BlockSpec((1, t, hs), lambda i, j: (i, 0, 0)),    # v
+            pl.BlockSpec((1, bq, hs), lambda i, j: (i, j, 0)),   # dO
+            pl.BlockSpec((1, bq), lambda i, j: (i, j)),          # lse
+            pl.BlockSpec((1, bq), lambda i, j: (i, j)),          # delta
+        ],
+        out_specs=pl.BlockSpec((1, bq, hs), lambda i, j: (i, j, 0)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * n * t * t * hs // 2,
+            bytes_accessed=6 * n * t * hs * 4,
+            transcendentals=n * t * t // 2,
+        ),
+    )(q, k, v, g, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, bq=bq, bk=bk, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        grid=(n, t // bk),
+        in_specs=[
+            pl.BlockSpec((1, t, hs), lambda i, j: (i, 0, 0)),    # q
+            pl.BlockSpec((1, bk, hs), lambda i, j: (i, j, 0)),   # k
+            pl.BlockSpec((1, bk, hs), lambda i, j: (i, j, 0)),   # v
+            pl.BlockSpec((1, t, hs), lambda i, j: (i, 0, 0)),    # dO
+            pl.BlockSpec((1, t), lambda i, j: (i, 0)),           # lse
+            pl.BlockSpec((1, t), lambda i, j: (i, 0)),           # delta
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bk, hs), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, bk, hs), lambda i, j: (i, j, 0)),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * n * t * t * hs // 2,
+            bytes_accessed=6 * n * t * hs * 4,
+            transcendentals=n * t * t // 2,
+        ),
+    )(q, k, v, g, lse, delta)
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash3(q, k, v, bq, bk, interpret):
-    return _flash_forward(q, k, v, bq, bk, interpret)
+    out, _ = _flash_forward(q, k, v, bq, bk, interpret)
+    return out
 
 
 def _flash3_fwd(q, k, v, bq, bk, interpret):
-    return _flash_forward(q, k, v, bq, bk, interpret), (q, k, v)
+    out, lse = _flash_forward(q, k, v, bq, bk, interpret)
+    return out, (q, k, v, out, lse)
 
 
 def _flash3_bwd(bq, bk, interpret, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(_dense_reference, q, k, v)
-    return vjp(g)
+    q, k, v, out, lse = res
+    return _flash_backward(q, k, v, out, lse, g, bq, bk, interpret)
 
 
 _flash3.defvjp(_flash3_fwd, _flash3_bwd)
+
+
+# ------------------------------------------------------- cross-attention fused
+
+
+def _flash_cross_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, bq: int, bk: int, scale: float
+):
+    """Causal flash attention for one KV stream, SUMMED into the output.
+
+    Grid (J, N, T/BQ): the output block index ignores j, so successive j
+    programs revisit the same output block — initialize at j==0, accumulate
+    after (the per-stream outputs are never materialized; reference sums them
+    post-hoc: model.py:158).
+    """
+    jj = pl.program_id(0)
+    iq = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32)  # (bq, hs)
+    hs = q.shape[-1]
+    t_k = k_ref.shape[2]
+
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, hs), jnp.float32)
+    q_offset = iq * bq
+
+    def body(jk, carry):
+        m, l, acc = carry
+        k_blk = k_ref[0, 0, pl.ds(jk * bk, bk), :].astype(jnp.float32)
+        v_blk = v_ref[0, 0, pl.ds(jk * bk, bk), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + q_offset
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + jk * bk
+        s = jnp.where(rows >= cols, s, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * corr + jax.lax.dot_general(
+            p, v_blk, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l, acc
+
+    num_kv_blocks = jnp.minimum((q_offset + bq + bk - 1) // bk, t_k // bk)
+    m, l, acc = jax.lax.fori_loop(0, num_kv_blocks, body, (m0, l0, acc0))
+    stream_out = (acc / l).astype(o_ref.dtype)
+
+    @pl.when(jj == 0)
+    def _():
+        o_ref[0, 0] = stream_out
+
+    @pl.when(jj > 0)
+    def _():
+        o_ref[0, 0] = o_ref[0, 0] + stream_out
+
+
+def _flash_cross_forward(q, k, v, bq, bk, interpret):
+    """q: (N, T, hs); k, v: (J, N, T, hs). Returns sum_j attn(q, k_j, v_j)."""
+    j, n, t, hs = k.shape
+    scale = hs ** -0.5
+    kernel = functools.partial(_flash_cross_kernel, bq=bq, bk=bk, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, n, t, hs), q.dtype),
+        grid=(j, n, t // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, hs), lambda jj, i, iq: (0, i, iq, 0)),
+            pl.BlockSpec((1, 1, t, hs), lambda jj, i, iq: (jj, i, 0, 0)),
+            pl.BlockSpec((1, 1, t, hs), lambda jj, i, iq: (jj, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, hs), lambda jj, i, iq: (0, i, iq, 0)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * j * n * t * t * hs // 2,
+            bytes_accessed=(2 * j + 2) * n * t * hs * 4,
+            transcendentals=j * n * t * t // 2,
+        ),
+    )(q[None], k, v)
+    return out[0]
+
+
+def _dense_cross_reference(q, k, v):
+    """Dense per-stream causal attention summed over streams (for the VJP)."""
+    t = q.shape[-2]
+    scale = k.shape[-1] ** -0.5
+    s = jnp.matmul(q[None], jnp.swapaxes(k, -1, -2)) * scale
+    mask = jnp.tril(jnp.ones((t, t), dtype=bool))
+    s = jnp.where(mask, s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.matmul(p, v).sum(axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_cross(q, k, v, bq, bk, interpret):
+    return _flash_cross_forward(q, k, v, bq, bk, interpret)
+
+
+def _flash_cross_fwd(q, k, v, bq, bk, interpret):
+    return _flash_cross_forward(q, k, v, bq, bk, interpret), (q, k, v)
+
+
+def _flash_cross_bwd(bq, bk, interpret, res, g):
+    # recompute-based backward (remat of the dense form); the forward stays
+    # blockwise. Cross layers are a small FLOP fraction of the model, and the
+    # main training configs run the dense core anyway (attention dropout).
+    q, k, v = res
+    _, vjp = jax.vjp(_dense_cross_reference, q, k, v)
+    return vjp(g)
+
+
+_flash_cross.defvjp(_flash_cross_fwd, _flash_cross_bwd)
+
+
+def flash_cross_eligible(q: jax.Array, k: jax.Array, v: jax.Array) -> bool:
+    """Fused-cross eligibility: k/v carry one extra leading stream axis."""
+    if k.shape != v.shape or k.ndim != q.ndim + 1 or k.shape[1:] != q.shape:
+        return False
+    if q.ndim < 2:
+        return False
+    t, hs = q.shape[-2], q.shape[-1]
+    if t < MIN_FLASH_SEQ_LEN or t % DEFAULT_BQ != 0 or t % DEFAULT_BK != 0:
+        return False
+    if hs > 256:
+        return False
+    return True
+
+
+def flash_cross_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Sum over J KV streams of causal attention, fused in one kernel.
+
+    q: (..., T, hs); k, v: (J, ..., T, hs). Differentiable: the custom VJP
+    recomputes the dense form (forward-only memory win; blockwise backward
+    for the cross layout is a later optimization).
+    """
+    jdim = k.shape[0]
+    lead = q.shape[:-2]
+    t, hs = q.shape[-2], q.shape[-1]
+    n = 1
+    for d in lead:
+        n *= d
+    q3 = q.reshape(n, t, hs)
+    k4 = k.reshape(jdim, n, t, hs)
+    v4 = v.reshape(jdim, n, t, hs)
+    bq = min(DEFAULT_BQ, t)
+    bk = min(DEFAULT_BK, t)
+    out = _flash_cross(q3, k4, v4, bq, bk, interpret)
+    return out.reshape(*lead, t, hs)
+
+
+# ----------------------------------------------------------------- entry points
 
 
 def flash_attention_eligible(q: jax.Array, k: jax.Array, v: jax.Array) -> bool:
     """Kernel eligibility: self-attention layout (q/k/v same shape), long
     enough sequence to beat the dense core, block-aligned T, lane-friendly
     head size. The cross-attention broadcast layout (q has fewer leading
-    dims) falls back to the dense core for now."""
+    dims) goes through ``flash_cross_attention`` instead."""
     if q.shape != k.shape or q.shape != v.shape:
         return False
     if q.ndim < 3:
@@ -165,7 +492,10 @@ def flash_attention_eligible(q: jax.Array, k: jax.Array, v: jax.Array) -> bool:
 def flash_causal_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, interpret: bool = False
 ) -> jax.Array:
-    """Causal flash attention over trailing (T, hs); leading dims collapse."""
+    """Causal flash attention over trailing (T, hs); leading dims collapse.
+
+    Fully differentiable: the custom VJP runs the blockwise dQ and dK/dV
+    kernels — nothing of size T² touches HBM in forward or backward."""
     lead = q.shape[:-2]
     t, hs = q.shape[-2], q.shape[-1]
     n = 1
