@@ -34,6 +34,39 @@ def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
     )
 
 
+def resolve_rng_impl(impl: str) -> str:
+    """'auto' → hardware RngBitGenerator on TPU, threefry elsewhere.
+
+    Threefry (JAX's default) computes every random bit on the VPU — measured
+    at ~40% of the production-config step time (dropout masks + batch
+    augmentation). The 'rbg' implementation keeps threefry's split semantics
+    but generates bits with the TPU's native RNG instruction. CPU keeps
+    threefry so test vectors are stable.
+    """
+    if impl == "auto":
+        try:
+            return "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+        except Exception:  # pragma: no cover
+            return "threefry2x32"
+    return impl
+
+
+def to_impl_key(key: jax.Array, impl: str) -> jax.Array:
+    """Convert a raw uint32 PRNGKey to a typed key of the requested impl.
+
+    Already-typed keys pass through (the caller chose an impl explicitly).
+    The mapping raw→rbg is deterministic: the 2-word threefry key is tiled
+    to the 4-word rbg key state.
+    """
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return key
+    impl = resolve_rng_impl(impl)
+    if impl == "threefry2x32":
+        return jax.random.wrap_key_data(key, impl=impl)
+    data = jnp.tile(key, 2)[:4].astype(jnp.uint32)
+    return jax.random.wrap_key_data(data, impl=impl)
+
+
 class EvalStats(NamedTuple):
     """Accumulated over one evaluation pass (eval_iters batches)."""
 
@@ -56,12 +89,14 @@ class Trainer:
         metric_specs: Sequence[ModalityMetricSpec],
         eval_iters: int,
         batch_constraint=None,
+        rng_impl: str = "auto",
     ):
         self.cfg = cfg
         self.feed = feed
         self.optimizer = optimizer
         self.metric_specs = list(metric_specs)
         self.eval_iters = eval_iters
+        self.rng_impl = rng_impl
         # Optional sharding annotation applied to sampled batches so XLA
         # distributes the per-step compute across a mesh (parallel/).
         self.batch_constraint = batch_constraint or (lambda x: x)
@@ -75,6 +110,7 @@ class Trainer:
 
     def _train_chunk_impl(self, params, opt_state, key, n_steps: int):
         """n_steps fused optimization steps, batches drawn in-scan."""
+        key = to_impl_key(key, self.rng_impl)
 
         def body(carry, step_key):
             params, opt_state = carry
@@ -111,6 +147,7 @@ class Trainer:
         summed CE per batch, directional metrics accumulated per modality.
         """
         M = self.cfg.num_modalities
+        key = to_impl_key(key, self.rng_impl)
 
         def body(carry, step_key):
             loss_sum, losses_sum, wins, losses_n, cert = carry
