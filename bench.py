@@ -23,6 +23,10 @@ import numpy as np
 
 import jax
 
+from trade_aid_multimodal_transformer_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 REFERENCE_STEPS_PER_SEC = 32.6  # BASELINE.md: demo config, torch CPU
 
 

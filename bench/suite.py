@@ -29,6 +29,10 @@ import numpy as np
 
 import jax
 
+from trade_aid_multimodal_transformer_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 RESULTS = []
 
 
@@ -187,6 +191,24 @@ def bench_train():
         "M tokens/s",
         None,
     )
+
+    # same production config under mixed precision (bf16 activations,
+    # f32 master params/accumulation)
+    cfg_bf = ModelConfig(
+        vocab_sizes=(500, 120, 24, 48), cross_attention=(True, True, False, False),
+        n_embd=384, n_head=6, n_layer=6, block_size=64, dropout=0.2,
+        compute_dtype="bfloat16",
+    )
+    trainer_bf, params_bf, opt_bf = _make_trainer(
+        cfg_bf, 1_000_000, 32, rand_sizes=[2, 2, None, None]
+    )
+    params_bf, opt_bf, l = trainer_bf.train_chunk(params_bf, opt_bf, jax.random.PRNGKey(0), chunk)
+    jax.block_until_ready(l)
+    t0 = time.perf_counter()
+    params_bf, opt_bf, l = trainer_bf.train_chunk(params_bf, opt_bf, jax.random.PRNGKey(1), chunk)
+    jax.block_until_ready(l)
+    t = time.perf_counter() - t0
+    record("train steps/s (production, bf16)", chunk / t, "steps/s", None)
 
     # eval pass (fused, with on-device directional metrics)
     stats = trainer.eval_pass(params, jax.random.PRNGKey(2), "val")

@@ -33,6 +33,13 @@ class ModelConfig:
     # f32 master params, bf16 activations/matmul inputs, f32 accumulation,
     # f32 layernorm/softmax/loss — the standard TPU recipe).
     compute_dtype: str = "float32"
+    # Rematerialize each block in the backward pass (jax.checkpoint) instead
+    # of streaming stored forward activations from HBM. The training step is
+    # HBM-bandwidth-bound (profiled: activation copy-in dominates the while
+    # body), so trading recompute FLOPs on an underutilized MXU for traffic
+    # is a net win at production scale. Numerics are unchanged (the same
+    # values are recomputed; dropout keys are per-block and replayed).
+    remat: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "vocab_sizes", tuple(int(v) for v in self.vocab_sizes))

@@ -124,8 +124,10 @@ def cross_attention(
     H, hs = cfg.n_head, cfg.head_size
 
     q = _mm("btc,hce->bhte", query_x, cp["q_w"])          # (B,H,T,hs)
-    kv = _mm("jbtc,jhcf->jbhtf", kv_x, cp["kv_w"])        # (J,B,H,T,2hs)
-    k, v = jnp.split(kv, 2, axis=-1)
+    # split the WEIGHT (cheap) instead of slicing the (J,B,H,T,2hs)
+    # activation in half — avoids two big activation copies per layer
+    k = _mm("jbtc,jhcf->jbhtf", kv_x, cp["kv_w"][..., : cp["q_w"].shape[-1]])
+    v = _mm("jbtc,jhcf->jbhtf", kv_x, cp["kv_w"][..., cp["q_w"].shape[-1] :])
 
     # One query stream against J KV streams, summed over J (reference:
     # model.py:158) — fused in-kernel on TPU when shapes are eligible.
@@ -156,11 +158,17 @@ def feed_forward(
 def block_forward(
     x: jax.Array,
     block: Dict[str, Any],
+    key: Optional[jax.Array],
     cfg: ModelConfig,
-    keys: KeyGen,
     train: bool,
 ) -> jax.Array:
-    """One MultimodalBlock (reference: model.py:214-244). x: (M, B, T, C)."""
+    """One MultimodalBlock (reference: model.py:214-244). x: (M, B, T, C).
+
+    Takes a per-block dropout key (not a shared splitter) so the block is a
+    self-contained function of (x, block-params, key) — the unit
+    ``jax.checkpoint`` rematerializes when cfg.remat is on.
+    """
+    keys = KeyGen(key)
     x = x + self_attention(
         layernorm(x, block["ln1"]["scale"], block["ln1"]["bias"]),
         block["sa"], cfg, keys, train,
@@ -246,8 +254,20 @@ def forward(
     """
     keys = KeyGen(rng)
     x = embed(params, cfg, idx)
+    blk = block_forward
+    if cfg.remat and train:
+        # Recompute each block in the backward pass instead of storing its
+        # activations (optional: trades recompute FLOPs for HBM traffic —
+        # useful at long block_size / large batch). prevent_cse is safe to
+        # disable under jit/scan.
+        blk = jax.checkpoint(
+            block_forward,
+            static_argnums=(3, 4),
+            policy=jax.checkpoint_policies.nothing_saveable,
+            prevent_cse=False,
+        )
     for block in params["blocks"]:
-        x = block_forward(x, block, cfg, keys, train)
+        x = blk(x, block, keys(), cfg, train)
     logits_list = logits_heads(params, cfg, x)
 
     if targets is None:
