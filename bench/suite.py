@@ -220,6 +220,46 @@ def bench_train():
     record("eval pass, 40 iters (production)", t * 1e3, "ms", None)
 
 
+def bench_kernels():
+    """Flash-attention kernel vs the dense core at serving-scale context.
+
+    The shipped configs use block_size 4-64 where dense wins (tiny matmuls);
+    this measures the long-context regime the Pallas kernels target."""
+    import jax.numpy as jnp
+
+    from trade_aid_multimodal_transformer_tpu.ops.attention import causal_attention_jnp
+    from trade_aid_multimodal_transformer_tpu.ops.pallas_attention import (
+        flash_causal_attention,
+    )
+
+    if jax.default_backend() != "tpu":
+        print("\n== attention kernels: skipped (no TPU) ==")
+        return
+    print("\n== attention kernels (T=4096, 48 heads, hs=64) ==")
+    T, N, hs = 4096, 48, 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, (N, T, hs), jnp.float32) for kk in ks)
+
+    def tb(fn, n=10):
+        out = fn(q, k, v)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(q, k, v)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n
+
+    td = tb(jax.jit(lambda q, k, v: causal_attention_jnp(q, k, v)))
+    tf = tb(jax.jit(lambda q, k, v: flash_causal_attention(q, k, v)))
+    record("flash attention fwd (T=4096)", tf * 1e3, "ms", None)
+    record("flash fwd speedup vs dense", td / tf, "x", None)
+
+    gd = tb(jax.jit(jax.grad(lambda q, k, v: (causal_attention_jnp(q, k, v) ** 2).sum(), argnums=(0, 1, 2))), n=5)
+    gf = tb(jax.jit(jax.grad(lambda q, k, v: (flash_causal_attention(q, k, v) ** 2).sum(), argnums=(0, 1, 2))), n=5)
+    record("flash attention fwd+bwd (T=4096)", gf * 1e3, "ms", None)
+    record("flash fwd+bwd speedup vs dense", gd / gf, "x", None)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--json", type=str, default=None)
@@ -229,6 +269,7 @@ def main():
     bench_transforms()
     bench_feed()
     bench_train()
+    bench_kernels()
 
     if args.json:
         Path(args.json).write_text(json.dumps(RESULTS, indent=2))

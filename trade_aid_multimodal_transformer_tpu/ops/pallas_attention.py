@@ -102,8 +102,12 @@ def _flash_fwd_kernel(
     num_kv_blocks = jnp.minimum((q_offset + bq + bk - 1) // bk, t_k // bk)
     m, l, acc = jax.lax.fori_loop(0, num_kv_blocks, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    # logsumexp of each row's scores — the backward's softmax reconstruction
-    lse_ref[0] = (m + jnp.log(l))[:, 0]
+    # logsumexp of each row's scores — the backward's softmax reconstruction.
+    # lse is laid out (n, 1, T) with a full-row block: TPU tiling requires
+    # the last two block dims be (8k, 128k) or equal to the array dims, so a
+    # (1, bq) block is not lowerable; the (1, T) row block is, and is
+    # revisited in VMEM across the j grid dimension.
+    lse_ref[0, 0, pl.ds(q_offset, bq)] = (m + jnp.log(l))[:, 0]
 
 
 def _flash_forward(
@@ -121,7 +125,7 @@ def _flash_forward(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((n, t), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, t), jnp.float32),
         ),
         grid=grid,
         in_specs=[
@@ -131,7 +135,7 @@ def _flash_forward(
         ],
         out_specs=(
             pl.BlockSpec((1, bq, hs), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, bq), lambda i, j: (i, j)),
+            pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0)),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -153,11 +157,11 @@ def _flash_bwd_dq_kernel(
     iq = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32)            # (bq, hs)
     do = do_ref[0].astype(jnp.float32)          # (bq, hs)
-    lse = lse_ref[0][:, None]                   # (bq, 1)
-    delta = delta_ref[0][:, None]               # (bq, 1)
     hs = q.shape[-1]
     t_k = k_ref.shape[1]
     q_offset = iq * bq
+    lse = lse_ref[0, 0, pl.ds(q_offset, bq)][:, None]      # (bq, 1)
+    delta = delta_ref[0, 0, pl.ds(q_offset, bq)][:, None]  # (bq, 1)
 
     def body(jk, dq):
         k_blk = k_ref[0, pl.ds(jk * bk, bk), :].astype(jnp.float32)
@@ -205,8 +209,8 @@ def _flash_bwd_dkv_kernel(
         dk, dv = carry
         q = q_ref[0, pl.ds(iq * bq, bq), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(iq * bq, bq), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(iq * bq, bq)][:, None]
-        delta = delta_ref[0, pl.ds(iq * bq, bq)][:, None]
+        lse = lse_ref[0, 0, pl.ds(iq * bq, bq)][:, None]
+        delta = delta_ref[0, 0, pl.ds(iq * bq, bq)][:, None]
         s = jax.lax.dot_general(
             q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -242,10 +246,13 @@ def _flash_bwd_dkv_kernel(
 
 
 def _flash_backward(q, k, v, out, lse, g, bq, bk, interpret):
+    """lse: (n, 1, t) as produced by the forward kernel."""
     n, t, hs = q.shape
     scale = hs ** -0.5
     # D = rowsum(dO ∘ O) — one elementwise pass, fused by XLA
-    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )[:, None, :]  # (n, 1, t) to match the lse row-block layout
 
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, bq=bq, bk=bk, scale=scale),
@@ -256,8 +263,8 @@ def _flash_backward(q, k, v, out, lse, g, bq, bk, interpret):
             pl.BlockSpec((1, t, hs), lambda i, j: (i, 0, 0)),    # k
             pl.BlockSpec((1, t, hs), lambda i, j: (i, 0, 0)),    # v
             pl.BlockSpec((1, bq, hs), lambda i, j: (i, j, 0)),   # dO
-            pl.BlockSpec((1, bq), lambda i, j: (i, j)),          # lse
-            pl.BlockSpec((1, bq), lambda i, j: (i, j)),          # delta
+            pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0)),     # lse
+            pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0)),     # delta
         ],
         out_specs=pl.BlockSpec((1, bq, hs), lambda i, j: (i, j, 0)),
         interpret=interpret,
@@ -280,8 +287,8 @@ def _flash_backward(q, k, v, out, lse, g, bq, bk, interpret):
             pl.BlockSpec((1, bk, hs), lambda i, j: (i, j, 0)),   # k
             pl.BlockSpec((1, bk, hs), lambda i, j: (i, j, 0)),   # v
             pl.BlockSpec((1, t, hs), lambda i, j: (i, 0, 0)),    # dO
-            pl.BlockSpec((1, t), lambda i, j: (i, 0)),           # lse
-            pl.BlockSpec((1, t), lambda i, j: (i, 0)),           # delta
+            pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0)),     # lse
+            pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0)),     # delta
         ],
         out_specs=(
             pl.BlockSpec((1, bk, hs), lambda i, j: (i, j, 0)),
