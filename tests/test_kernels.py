@@ -115,6 +115,62 @@ class TestFlashCross:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
+class TestInKernelDropout:
+    """Attention dropout generated inside the kernel (TPU-native PRNG): the
+    keep-mask is regenerated per (seed, batch·head, q-block, k-block) in
+    forward and backward, so gradients must be consistent with the forward
+    function at a FIXED seed — checked by finite differences."""
+
+    def test_zero_rate_matches_plain_kernel(self):
+        q, k, v = qkv(2, 256, 16, seed=11)
+        a = flash_causal_attention(q, k, v, interpret=True)
+        b = flash_causal_attention(
+            q, k, v, interpret=True, dropout_rate=0.0, dropout_key=None
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_deterministic_per_key_and_varies_across_keys(self):
+        q, k, v = qkv(2, 256, 16, seed=12)
+        key = jax.random.PRNGKey(3)
+        a = flash_causal_attention(q, k, v, interpret=True,
+                                   dropout_rate=0.3, dropout_key=key)
+        b = flash_causal_attention(q, k, v, interpret=True,
+                                   dropout_rate=0.3, dropout_key=key)
+        c = flash_causal_attention(q, k, v, interpret=True,
+                                   dropout_rate=0.3, dropout_key=jax.random.PRNGKey(4))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not np.allclose(np.asarray(a), np.asarray(c))
+
+    def test_dropout_changes_output_and_preserves_mean(self):
+        # E[dropout(P)] = P, so averaging outputs over many keys approaches
+        # the no-dropout output
+        q, k, v = qkv(1, 256, 16, seed=13)
+        base = flash_causal_attention(q, k, v, interpret=True)
+        outs = [
+            flash_causal_attention(q, k, v, interpret=True, dropout_rate=0.4,
+                                   dropout_key=jax.random.PRNGKey(i))
+            for i in range(24)
+        ]
+        assert not np.allclose(np.asarray(outs[0]), np.asarray(base))
+        mean = np.mean([np.asarray(o) for o in outs], axis=0)
+        err = np.abs(mean - np.asarray(base)).mean()
+        spread = np.abs(np.asarray(outs[0]) - np.asarray(base)).mean()
+        assert err < spread / 2  # averaging shrinks toward the expectation
+
+    def test_gradients_consistent_with_forward(self):
+        from jax.test_util import check_grads
+
+        q, k, v = qkv(1, 256, 8, seed=14)
+        key = jax.random.PRNGKey(9)
+
+        def f(q, k, v):
+            return flash_causal_attention(
+                q, k, v, interpret=True, dropout_rate=0.25, dropout_key=key
+            ).sum()
+
+        check_grads(f, (q, k, v), order=1, modes=("rev",), atol=2e-2, rtol=2e-2)
+
+
 class TestDispatch:
     def test_eligibility_gates(self):
         q, k, v = qkv(1, 256, 64)

@@ -84,14 +84,15 @@ def causal_attention(
     if impl == "jnp":
         return causal_attention_jnp(q, k, v, dropout_rate, dropout_key, train)
     if impl in ("auto", "pallas"):
-        use_dropout = train and dropout_rate > 0.0
-        if not use_dropout:
-            from .pallas_attention import flash_attention_eligible, flash_causal_attention
+        from .pallas_attention import flash_attention_eligible, flash_causal_attention
 
-            if flash_attention_eligible(q, k, v) and (
-                impl == "pallas" or _on_tpu()
-            ):
-                return flash_causal_attention(q, k, v)
+        if flash_attention_eligible(q, k, v) and (impl == "pallas" or _on_tpu()):
+            use_dropout = train and dropout_rate > 0.0
+            return flash_causal_attention(
+                q, k, v,
+                dropout_rate=dropout_rate if use_dropout else 0.0,
+                dropout_key=dropout_key if use_dropout else None,
+            )
         return causal_attention_jnp(q, k, v, dropout_rate, dropout_key, train)
     raise ValueError(f"Unknown attention impl: {impl}")
 

@@ -38,11 +38,13 @@ is pinned by tests/test_kernels.py in interpret mode and on-TPU.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # Query/key block sizes. 128 matches the MXU tile edge; 8-row sublane
 # granularity makes BQ=128/BK=128 safe for f32.
@@ -53,13 +55,63 @@ MIN_FLASH_SEQ_LEN = 256  # below this the dense core is faster (tiny matmuls)
 _NEG_INF = float("-inf")
 
 
+def _keep_mask(seed, n_idx, iq, jk, shape, rate: float, interpret: bool):
+    """Deterministic per-(program, block) dropout keep-mask.
+
+    Seeded by (run seed, collapsed batch·head index, query block, key block),
+    so the forward and BOTH backward kernels regenerate bit-identical masks —
+    no T² mask tensor ever exists in HBM (the reference stores the full
+    dropout mask; torch semantics, reference: model.py:68-69).
+
+    On TPU the bits come from the core's native PRNG. Interpret mode (CPU
+    tests) cannot lower ``pltpu.prng_*``, so it uses an integer-mixing hash
+    with the same seeding structure — same semantics, different bit stream
+    (the dropout stream is implementation-defined either way).
+    """
+    # NOTE: constants must stay numpy/python scalars — jnp scalars traced
+    # inside a kernel become jaxpr constvars, which pallas refuses to lower
+    # (and which silently disable interpret mode).
+    threshold = np.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
+    if not interpret:
+        # Mosaic supports at most 2 seed words — mix (seed, n) and (iq, jk)
+        # injectively: odd-constant multiply is a bijection mod 2^32, and
+        # jk < 1000003 for any realistic T/BK.
+        s1 = seed ^ (n_idx * np.int32(40503))
+        s2 = iq * np.int32(1000003) + jk
+        pltpu.prng_seed(s1, s2)
+        bits = pltpu.prng_random_bits(shape)  # uint32
+        return pltpu.bitcast(bits, jnp.uint32) >= threshold  # P(keep) = 1-rate
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    u32 = lambda a: jnp.asarray(a).astype(jnp.uint32)  # noqa: E731
+    x = (
+        u32(seed) * np.uint32(2654435761)
+        ^ (u32(n_idx) * np.uint32(40503))
+        ^ (u32(iq) * np.uint32(1000003))
+        ^ (u32(jk) * np.uint32(97))
+    )
+    h = r * np.uint32(2246822519) + c * np.uint32(3266489917) + x
+    h = h ^ (h >> np.uint32(13))
+    h = h * np.uint32(2654435761)
+    h = h ^ (h >> np.uint32(16))
+    return h >= threshold
+
+
 # --------------------------------------------------------------------- forward
 
 
 def _flash_fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, *, bq: int, bk: int, scale: float
+    q_ref, k_ref, v_ref, seed_ref, o_ref, lse_ref,
+    *, bq: int, bk: int, scale: float, rate: float, interpret: bool,
 ):
-    """One (sequence-row, query-block) program of causal flash attention."""
+    """One (sequence-row, query-block) program of causal flash attention.
+
+    With rate > 0, attention dropout runs IN-KERNEL: the keep-mask applies to
+    the unnormalized exp-scores inside the accumulation while the softmax
+    denominator accumulates unmasked, which equals dropout(softmax(S)) @ V
+    because the per-row 1/l scaling commutes with the elementwise mask.
+    """
+    n_idx = pl.program_id(0)
     iq = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32)  # (bq, hs)
     hs = q.shape[-1]
@@ -91,8 +143,15 @@ def _flash_fwd_kernel(
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
         l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        if rate > 0.0:
+            keep = _keep_mask(
+                seed_ref[0], n_idx, iq, jk, (bq, bk), rate, interpret
+            )
+            p_acc = jnp.where(keep, p, 0.0)
+        else:
+            p_acc = p
         acc = acc * corr + jax.lax.dot_general(
-            p, v_blk,
+            p_acc, v_blk,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -101,7 +160,7 @@ def _flash_fwd_kernel(
     # only key blocks at or before the diagonal block contribute
     num_kv_blocks = jnp.minimum((q_offset + bq + bk - 1) // bk, t_k // bk)
     m, l, acc = jax.lax.fori_loop(0, num_kv_blocks, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    o_ref[0] = (acc / (l * (1.0 - rate))).astype(o_ref.dtype)
     # logsumexp of each row's scores — the backward's softmax reconstruction.
     # lse is laid out (n, 1, T) with a full-row block: TPU tiling requires
     # the last two block dims be (8k, 128k) or equal to the array dims, so a
@@ -111,14 +170,17 @@ def _flash_fwd_kernel(
 
 
 def _flash_forward(
-    q, k, v, bq: int, bk: int, interpret: bool
+    q, k, v, seed, bq: int, bk: int, rate: float, interpret: bool
 ) -> Tuple[jax.Array, jax.Array]:
-    """q, k, v: (N, T, hs) — leading dims already collapsed.
+    """q, k, v: (N, T, hs) — leading dims already collapsed; seed: (1,) i32.
 
-    Returns (out (N, T, hs), logsumexp (N, T))."""
+    Returns (out (N, T, hs), logsumexp (N, 1, T))."""
     n, t, hs = q.shape
     scale = hs ** -0.5
-    kernel = functools.partial(_flash_fwd_kernel, bq=bq, bk=bk, scale=scale)
+    kernel = functools.partial(
+        _flash_fwd_kernel, bq=bq, bk=bk, scale=scale, rate=rate,
+        interpret=interpret,
+    )
 
     grid = (n, t // bq)
     return pl.pallas_call(
@@ -132,6 +194,7 @@ def _flash_forward(
             pl.BlockSpec((1, bq, hs), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, t, hs), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, t, hs), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, bq, hs), lambda i, j: (i, j, 0)),
@@ -143,17 +206,18 @@ def _flash_forward(
             bytes_accessed=4 * n * t * hs * 4,
             transcendentals=n * t * t // 2,
         ),
-    )(q, k, v)
+    )(q, k, v, seed)
 
 
 # -------------------------------------------------------------------- backward
 
 
 def _flash_bwd_dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-    *, bq: int, bk: int, scale: float,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref, dq_ref,
+    *, bq: int, bk: int, scale: float, rate: float, interpret: bool,
 ):
     """dQ for one query block: stream key blocks up to the diagonal."""
+    n_idx = pl.program_id(0)
     iq = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32)            # (bq, hs)
     do = do_ref[0].astype(jnp.float32)          # (bq, hs)
@@ -179,6 +243,13 @@ def _flash_bwd_dq_kernel(
             do, v_blk, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if rate > 0.0:
+            # dS = P ∘ (mask/keep ∘ (dO·Vᵀ) − D); regenerate the forward's
+            # keep-mask from the same (seed, n, iq, jk) tuple
+            keep = _keep_mask(
+                seed_ref[0], n_idx, iq, jk, (bq, bk), rate, interpret
+            )
+            dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
         ds = p * (dp - delta)
         return dq + jax.lax.dot_general(
             ds, k_blk, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -193,10 +264,11 @@ def _flash_bwd_dq_kernel(
 
 
 def _flash_bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    *, bq: int, bk: int, scale: float,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref, dk_ref, dv_ref,
+    *, bq: int, bk: int, scale: float, rate: float, interpret: bool,
 ):
     """dK/dV for one key block: stream query blocks from the diagonal down."""
+    n_idx = pl.program_id(0)
     jk = pl.program_id(1)
     k_blk = k_ref[0].astype(jnp.float32)        # (bk, hs)
     v_blk = v_ref[0].astype(jnp.float32)        # (bk, hs)
@@ -218,12 +290,20 @@ def _flash_bwd_dkv_kernel(
         rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + iq * bq
         cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + k_offset
         p = jnp.where(rows >= cols, jnp.exp(s - lse), 0.0)
-        dv = dv + jax.lax.dot_general(
-            p, do, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
         dp = jax.lax.dot_general(
             do, v_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if rate > 0.0:
+            keep = _keep_mask(
+                seed_ref[0], n_idx, iq, jk, (bq, bk), rate, interpret
+            )
+            pd = jnp.where(keep, p / (1.0 - rate), 0.0)   # dropped probs
+            dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
+        else:
+            pd = p
+        dv = dv + jax.lax.dot_general(
+            pd, do, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         ds = p * (dp - delta)
@@ -245,7 +325,7 @@ def _flash_bwd_dkv_kernel(
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _flash_backward(q, k, v, out, lse, g, bq, bk, interpret):
+def _flash_backward(q, k, v, out, lse, g, seed, bq, bk, rate, interpret):
     """lse: (n, 1, t) as produced by the forward kernel."""
     n, t, hs = q.shape
     scale = hs ** -0.5
@@ -255,7 +335,10 @@ def _flash_backward(q, k, v, out, lse, g, bq, bk, interpret):
     )[:, None, :]  # (n, 1, t) to match the lse row-block layout
 
     dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, bq=bq, bk=bk, scale=scale),
+        functools.partial(
+            _flash_bwd_dq_kernel, bq=bq, bk=bk, scale=scale, rate=rate,
+            interpret=interpret,
+        ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=(n, t // bq),
         in_specs=[
@@ -265,6 +348,7 @@ def _flash_backward(q, k, v, out, lse, g, bq, bk, interpret):
             pl.BlockSpec((1, bq, hs), lambda i, j: (i, j, 0)),   # dO
             pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0)),     # lse
             pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0)),     # delta
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # seed
         ],
         out_specs=pl.BlockSpec((1, bq, hs), lambda i, j: (i, j, 0)),
         interpret=interpret,
@@ -273,10 +357,13 @@ def _flash_backward(q, k, v, out, lse, g, bq, bk, interpret):
             bytes_accessed=6 * n * t * hs * 4,
             transcendentals=n * t * t // 2,
         ),
-    )(q, k, v, g, lse, delta)
+    )(q, k, v, g, lse, delta, seed)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_kernel, bq=bq, bk=bk, scale=scale),
+        functools.partial(
+            _flash_bwd_dkv_kernel, bq=bq, bk=bk, scale=scale, rate=rate,
+            interpret=interpret,
+        ),
         out_shape=(
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
@@ -289,6 +376,7 @@ def _flash_backward(q, k, v, out, lse, g, bq, bk, interpret):
             pl.BlockSpec((1, t, hs), lambda i, j: (i, 0, 0)),    # dO
             pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0)),     # lse
             pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0)),     # delta
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # seed
         ],
         out_specs=(
             pl.BlockSpec((1, bk, hs), lambda i, j: (i, j, 0)),
@@ -300,24 +388,27 @@ def _flash_backward(q, k, v, out, lse, g, bq, bk, interpret):
             bytes_accessed=6 * n * t * hs * 4,
             transcendentals=n * t * t // 2,
         ),
-    )(q, k, v, g, lse, delta)
+    )(q, k, v, g, lse, delta, seed)
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash3(q, k, v, bq, bk, interpret):
-    out, _ = _flash_forward(q, k, v, bq, bk, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash3(q, k, v, seed, bq, bk, rate, interpret):
+    out, _ = _flash_forward(q, k, v, seed, bq, bk, rate, interpret)
     return out
 
 
-def _flash3_fwd(q, k, v, bq, bk, interpret):
-    out, lse = _flash_forward(q, k, v, bq, bk, interpret)
-    return out, (q, k, v, out, lse)
+def _flash3_fwd(q, k, v, seed, bq, bk, rate, interpret):
+    out, lse = _flash_forward(q, k, v, seed, bq, bk, rate, interpret)
+    return out, (q, k, v, out, lse, seed)
 
 
-def _flash3_bwd(bq, bk, interpret, res, g):
-    q, k, v, out, lse = res
-    return _flash_backward(q, k, v, out, lse, g, bq, bk, interpret)
+def _flash3_bwd(bq, bk, rate, interpret, res, g):
+    q, k, v, out, lse, seed = res
+    dq, dk, dv = _flash_backward(
+        q, k, v, out, lse, g, seed, bq, bk, rate, interpret
+    )
+    return dq, dk, dv, None
 
 
 _flash3.defvjp(_flash3_fwd, _flash3_bwd)
@@ -497,12 +588,25 @@ def flash_attention_eligible(q: jax.Array, k: jax.Array, v: jax.Array) -> bool:
 
 
 def flash_causal_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, interpret: bool = False
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    interpret: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Causal flash attention over trailing (T, hs); leading dims collapse.
 
     Fully differentiable: the custom VJP runs the blockwise dQ and dK/dV
-    kernels — nothing of size T² touches HBM in forward or backward."""
+    kernels — nothing of size T² touches HBM in forward or backward.
+
+    With dropout_rate > 0 (and a dropout_key), attention dropout runs
+    in-kernel from the TPU's native PRNG: the keep-mask is regenerated
+    deterministically per (seed, batch·head, query-block, key-block) in the
+    forward and both backward kernels, so — unlike the dense core — no
+    (T, T) mask is ever stored. The mask stream differs from the jnp
+    dropout's (different PRNG), which only changes which units drop, not the
+    distribution."""
     lead = q.shape[:-2]
     t, hs = q.shape[-2], q.shape[-1]
     n = 1
@@ -513,5 +617,14 @@ def flash_causal_attention(
     v3 = v.reshape(n, t, hs)
     bq = min(DEFAULT_BQ, t)
     bk = min(DEFAULT_BK, t)
-    out = _flash3(q3, k3, v3, bq, bk, interpret)
+    rate = float(dropout_rate)
+    if rate > 0.0:
+        if dropout_key is None:
+            raise ValueError("dropout_rate > 0 requires dropout_key")
+        seed = jax.lax.bitcast_convert_type(
+            jax.random.bits(dropout_key, (1,), "uint32"), jnp.int32
+        )
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    out = _flash3(q3, k3, v3, seed, bq, bk, rate, interpret)
     return out.reshape(*lead, t, hs)
