@@ -312,3 +312,66 @@ class TestSchemaManagerYaml:
         mgr = SchemaManager()
         with pytest.raises(SystemExit):
             mgr.load_from_yaml(out)
+
+
+class TestTpuOptions:
+    """The optional tpu_options YAML section (framework extension): absent
+    section yields reference-equivalent defaults; values plumb through to
+    SystemConfig, its dict round-trip, and ModelConfig."""
+
+    def test_defaults_without_section(self, tmp_path):
+        cfg = SystemConfig.from_dict(
+            {"project_settings": {"project_file_path": str(tmp_path)}}
+        )
+        assert cfg.compute_dtype == "float32"
+        assert cfg.attn_impl == "auto"
+        assert cfg.remat is False
+        assert cfg.rng_impl == "auto"
+
+    def test_section_values_load_and_round_trip(self, tmp_path):
+        d = {
+            "project_settings": {"project_file_path": str(tmp_path)},
+            "tpu_options": {
+                "compute_dtype": "bfloat16",
+                "attn_impl": "pallas",
+                "remat": True,
+                "rng_impl": "rbg",
+            },
+        }
+        cfg = SystemConfig.from_dict(d)
+        assert cfg.compute_dtype == "bfloat16"
+        assert cfg.attn_impl == "pallas"
+        assert cfg.remat is True
+        assert cfg.rng_impl == "rbg"
+        rt = SystemConfig.from_dict(cfg.to_dict())
+        assert rt.to_dict()["tpu_options"] == d["tpu_options"]
+
+    def test_invalid_values_rejected(self, tmp_path):
+        base = {"project_settings": {"project_file_path": str(tmp_path)}}
+        for section in (
+            {"compute_dtype": "fp16"},
+            {"attn_impl": "triton"},
+            {"rng_impl": "xorshift"},
+        ):
+            with pytest.raises(ValueError):
+                SystemConfig.from_dict({**base, "tpu_options": section})
+
+    def test_reaches_model_config(self, tmp_path):
+        from trade_aid_multimodal_transformer_tpu.models.config import ModelConfig
+
+        sc = SystemConfig.from_dict(
+            {
+                "project_settings": {"project_file_path": str(tmp_path)},
+                "tpu_options": {"compute_dtype": "bfloat16", "remat": True},
+            }
+        )
+        params = {
+            "n_embd": 32, "n_head": 4, "n_layer": 2, "block_size": 8,
+            "dropout": 0.1, "compute_dtype": sc.compute_dtype,
+            "attn_impl": sc.attn_impl, "remat": sc.remat,
+        }
+        mc = ModelConfig.from_modality_params(
+            params, [7, 9], [[None] * 9 + ["a"], [None] * 8 + [True, "b"]]
+        )
+        assert mc.compute_dtype == "bfloat16"
+        assert mc.remat is True

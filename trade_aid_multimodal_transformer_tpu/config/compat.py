@@ -164,6 +164,12 @@ class CompatibilityMode:
                 "project_file_path": sc.project_file_path,
                 "output_file_name": sc.output_file_name,
                 "fixed_values": sc.fixed_values,
+                # TPU options (framework extension; defaults preserve
+                # reference behavior)
+                "compute_dtype": sc.compute_dtype,
+                "attn_impl": sc.attn_impl,
+                "remat": sc.remat,
+                "rng_impl": sc.rng_impl,
             }
             return params
 

@@ -57,6 +57,14 @@ class SystemConfig:
     dropout: float
     fixed_values: List[float]
 
+    # TPU options (framework extension — absent from the reference; an
+    # optional `tpu_options:` YAML section with safe defaults, so every
+    # reference config.yaml loads unchanged)
+    compute_dtype: str = "float32"   # 'float32' | 'bfloat16' (mixed precision)
+    attn_impl: str = "auto"          # 'auto' | 'jnp' | 'pallas'
+    remat: bool = False              # rematerialize blocks in backward
+    rng_impl: str = "auto"           # 'auto' | 'threefry2x32' | 'rbg'
+
     def __post_init__(self):
         """Validation rules pinned by the reference (config_manager.py:60-98)."""
         project_path = Path(self.project_file_path)
@@ -96,6 +104,20 @@ class SystemConfig:
                 "Common values: 'cpu', 'tpu', 'auto'"
             )
 
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"compute_dtype must be 'float32' or 'bfloat16', got {self.compute_dtype!r}"
+            )
+        if self.attn_impl not in ("auto", "jnp", "pallas"):
+            raise ValueError(
+                f"attn_impl must be 'auto', 'jnp' or 'pallas', got {self.attn_impl!r}"
+            )
+        if self.rng_impl not in ("auto", "threefry2x32", "rbg", "unsafe_rbg"):
+            raise ValueError(
+                f"rng_impl must be 'auto', 'threefry2x32', 'rbg' or 'unsafe_rbg', "
+                f"got {self.rng_impl!r}"
+            )
+
     @classmethod
     def from_dict(cls, config_dict: Dict[str, Any]) -> "SystemConfig":
         """Flatten the nested YAML structure with reference defaults
@@ -105,7 +127,12 @@ class SystemConfig:
         splitting = config_dict.get("data_splitting", {})
         training = config_dict.get("training_parameters", {})
         arch = config_dict.get("model_architecture", {})
+        tpu = config_dict.get("tpu_options", {}) or {}
         return cls(
+            compute_dtype=tpu.get("compute_dtype", "float32"),
+            attn_impl=tpu.get("attn_impl", "auto"),
+            remat=bool(tpu.get("remat", False)),
+            rng_impl=tpu.get("rng_impl", "auto"),
             project_file_path=project.get("project_file_path", ""),
             output_file_name=project.get("output_file_name", "training_log.txt"),
             model_file_name=project.get("model_file_name", "model.pth"),
@@ -156,6 +183,12 @@ class SystemConfig:
                 "n_layer": self.n_layer,
                 "dropout": self.dropout,
                 "fixed_values": self.fixed_values,
+            },
+            "tpu_options": {
+                "compute_dtype": self.compute_dtype,
+                "attn_impl": self.attn_impl,
+                "remat": self.remat,
+                "rng_impl": self.rng_impl,
             },
         }
 

@@ -88,6 +88,12 @@ class ModelConfig:
             bool(p[8]) if len(p) > 8 and p[8] is not None else False
             for p in all_modality_params
         )
+        defaults = dict(
+            compute_dtype=system_config.get("compute_dtype", "float32"),
+            attn_impl=system_config.get("attn_impl", "auto"),
+            remat=bool(system_config.get("remat", False)),
+        )
+        defaults.update(overrides)
         return cls(
             vocab_sizes=tuple(vocab_sizes),
             cross_attention=cross,
@@ -96,7 +102,7 @@ class ModelConfig:
             n_layer=system_config["n_layer"],
             block_size=system_config["block_size"],
             dropout=system_config["dropout"],
-            **overrides,
+            **defaults,
         )
 
     def kv_modalities(self, i: int) -> Tuple[int, ...]:

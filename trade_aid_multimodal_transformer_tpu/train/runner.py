@@ -376,7 +376,10 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
     metric_specs = build_metric_specs(
         all_vocabularies, [md.is_percent for md in modalities], block_size
     )
-    trainer = Trainer(cfg, feed, optimizer, metric_specs, eval_iters)
+    trainer = Trainer(
+        cfg, feed, optimizer, metric_specs, eval_iters,
+        rng_impl=sc.get("rng_impl", "auto"),
+    )
 
     hyperparams = {
         "n_embd": sc["n_embd"], "n_head": sc["n_head"], "n_layer": sc["n_layer"],
