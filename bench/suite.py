@@ -220,6 +220,48 @@ def bench_train():
     record("eval pass, 40 iters (production)", t * 1e3, "ms", None)
 
 
+def bench_generation():
+    """Autoregressive serving: fused-scan sampler vs per-token dispatch."""
+    import jax.numpy as jnp
+
+    from trade_aid_multimodal_transformer_tpu.models.config import ModelConfig
+    from trade_aid_multimodal_transformer_tpu.models.init import init_params
+    from trade_aid_multimodal_transformer_tpu.models.sampler import generate_fast
+    from trade_aid_multimodal_transformer_tpu.models.transformer import generate
+
+    print("\n== generation (production model, B=32, 128 new tokens) ==")
+    cfg = ModelConfig(
+        vocab_sizes=(500, 120, 24, 48), cross_attention=(True, True, False, False),
+        n_embd=384, n_head=6, n_layer=6, block_size=64, dropout=0.0,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B, new = 32, 128
+    idx = jnp.asarray(
+        np.stack([rng.integers(0, v, (B, cfg.block_size)) for v in cfg.vocab_sizes])
+        .astype(np.int32)
+    )
+
+    out = generate_fast(params, cfg, idx, jax.random.PRNGKey(1), new, 0)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = generate_fast(params, cfg, idx, jax.random.PRNGKey(2), new, 0)
+    jax.block_until_ready(out)
+    t_fast = time.perf_counter() - t0
+    record("generation (fused scan)", B * new / t_fast, "tokens/s", None)
+
+    # per-token dispatch path (the reference's loop structure), 16 tokens
+    # extrapolated — running 128 would dominate the suite's wall clock
+    few = 16
+    outs = generate(params, cfg, list(idx), jax.random.PRNGKey(3), few, 0)
+    jax.block_until_ready(outs[0])
+    t0 = time.perf_counter()
+    outs = generate(params, cfg, list(idx), jax.random.PRNGKey(4), few, 0)
+    jax.block_until_ready(outs[0])
+    t_slow = (time.perf_counter() - t0) * (new / few)
+    record("generation speedup vs per-token dispatch", t_slow / t_fast, "x", None)
+
+
 def bench_kernels():
     """Flash-attention kernel vs the dense core at serving-scale context.
 
@@ -269,6 +311,7 @@ def main():
     bench_transforms()
     bench_feed()
     bench_train()
+    bench_generation()
     bench_kernels()
 
     if args.json:
