@@ -1,4 +1,5 @@
-"""Parallelism subsystem: device mesh, sharding rules, DP/TP training."""
+"""Parallelism subsystem: device mesh, sharding rules, DP/TP training,
+ring (context-parallel) attention."""
 
 from .mesh import (
     batch_pspec,
@@ -7,6 +8,7 @@ from .mesh import (
     param_pspecs,
     shard_params,
 )
+from .ring_attention import make_ring_attention, ring_causal_attention_local
 from .trainer import (
     make_shard_map_dp_step,
     make_sharded_trainer,
@@ -19,6 +21,8 @@ __all__ = [
     "make_mesh",
     "param_pspecs",
     "shard_params",
+    "make_ring_attention",
+    "ring_causal_attention_local",
     "make_shard_map_dp_step",
     "make_sharded_trainer",
     "shard_train_state",
