@@ -114,6 +114,24 @@ class TestFlashCross:
         out = flash_cross_attention(q, k, v, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
+    def test_gradients_match_dense(self):
+        """The per-stream blockwise VJP must equal the dense gradient."""
+        ks = jax.random.split(jax.random.PRNGKey(8), 3)
+        q = jax.random.normal(ks[0], (2, 256, 16), jnp.float32)
+        k = jax.random.normal(ks[1], (3, 2, 256, 16), jnp.float32)
+        v = jax.random.normal(ks[2], (3, 2, 256, 16), jnp.float32)
+
+        gf = jax.grad(
+            lambda q, k, v: (flash_cross_attention(q, k, v, interpret=True) ** 2).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        gd = jax.grad(
+            lambda q, k, v: (causal_attention_jnp(q[None], k, v).sum(0) ** 2).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(gf, gd):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
 
 class TestInKernelDropout:
     """Attention dropout generated inside the kernel (TPU-native PRNG): the

@@ -41,7 +41,13 @@ def main() -> int:
                     help="override the config's model_file_name")
     args = ap.parse_args()
 
+    # resolve an explicit --checkpoint against the SHELL's cwd before chdir
+    if args.checkpoint is not None:
+        args.checkpoint = str(Path(args.checkpoint).resolve())
     os.chdir(args.config_dir)  # config detection is CWD-relative (parity)
+    # programmatic mode imports a `config` module from the config dir
+    if str(Path.cwd()) not in sys.path:
+        sys.path.insert(0, str(Path.cwd()))
 
     import jax
     import jax.numpy as jnp
@@ -108,6 +114,11 @@ def main() -> int:
         params, _, step, _ = load_checkpoint(ckpt, params, None, cfg)
         trained = f"checkpoint {ckpt}" + (f" (step {step})" if step else "")
     except FileNotFoundError:
+        if args.checkpoint is not None:
+            # an explicitly requested checkpoint must exist — never silently
+            # sample from random weights
+            print(f"[ERROR] checkpoint not found: {ckpt}", file=sys.stderr)
+            return 1
         trained = "RANDOM INIT (no checkpoint found — predictions are noise)"
     print(f"Model: {trained}", file=sys.stderr)
 

@@ -497,17 +497,6 @@ def _flash_cross_forward(q, k, v, bq, bk, interpret):
     return out[0]
 
 
-def _dense_cross_reference(q, k, v):
-    """Dense per-stream causal attention summed over streams (for the VJP)."""
-    t = q.shape[-2]
-    scale = k.shape[-1] ** -0.5
-    s = jnp.matmul(q[None], jnp.swapaxes(k, -1, -2)) * scale
-    mask = jnp.tril(jnp.ones((t, t), dtype=bool))
-    s = jnp.where(mask, s, _NEG_INF)
-    p = jax.nn.softmax(s, axis=-1)
-    return jnp.matmul(p, v).sum(axis=0)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash_cross(q, k, v, bq, bk, interpret):
     return _flash_cross_forward(q, k, v, bq, bk, interpret)
@@ -518,12 +507,25 @@ def _flash_cross_fwd(q, k, v, bq, bk, interpret):
 
 
 def _flash_cross_bwd(bq, bk, interpret, res, g):
-    # recompute-based backward (remat of the dense form); the forward stays
-    # blockwise. Cross layers are a small FLOP fraction of the model, and the
-    # main training configs run the dense core anyway (attention dropout).
+    # Blockwise per-stream backward: out = Σ_j attn(q, k_j, v_j) with
+    # independent softmaxes, so d/d(q, k_j, v_j) decomposes per stream with
+    # the SAME cotangent g. Each stream recomputes its (out_j, lse_j)
+    # through the blockwise forward and differentiates through the blockwise
+    # dQ / dK+dV kernels — nothing of size T² touches HBM. The J loop
+    # unrolls at trace time (J = num_modalities - 1, small by construction).
     q, k, v = res
-    _, vjp = jax.vjp(_dense_cross_reference, q, k, v)
-    return vjp(g)
+    seed = jnp.zeros((1,), jnp.int32)
+    dq = jnp.zeros_like(q)
+    dks, dvs = [], []
+    for j in range(k.shape[0]):
+        out_j, lse_j = _flash_forward(q, k[j], v[j], seed, bq, bk, 0.0, interpret)
+        dq_j, dk_j, dv_j = _flash_backward(
+            q, k[j], v[j], out_j, lse_j, g, seed, bq, bk, 0.0, interpret
+        )
+        dq = dq + dq_j
+        dks.append(dk_j)
+        dvs.append(dv_j)
+    return dq, jnp.stack(dks), jnp.stack(dvs)
 
 
 _flash_cross.defvjp(_flash_cross_fwd, _flash_cross_bwd)
@@ -549,8 +551,8 @@ def flash_cross_attention(
     """Sum over J KV streams of causal attention, fused in one kernel.
 
     q: (..., T, hs); k, v: (J, ..., T, hs). Differentiable: the custom VJP
-    recomputes the dense form (forward-only memory win; blockwise backward
-    for the cross layout is a later optimization).
+    runs the blockwise dQ / dK+dV kernels per stream (independent softmaxes
+    decompose the gradient), so forward AND backward are O(T) memory.
     """
     jdim = k.shape[0]
     lead = q.shape[:-2]
