@@ -336,6 +336,7 @@ class TestTpuOptions:
                 "attn_impl": "pallas",
                 "remat": True,
                 "rng_impl": "rbg",
+                "adam_moment_dtype": "bfloat16",
             },
         }
         cfg = SystemConfig.from_dict(d)
@@ -343,6 +344,7 @@ class TestTpuOptions:
         assert cfg.attn_impl == "pallas"
         assert cfg.remat is True
         assert cfg.rng_impl == "rbg"
+        assert cfg.adam_moment_dtype == "bfloat16"
         rt = SystemConfig.from_dict(cfg.to_dict())
         assert rt.to_dict()["tpu_options"] == d["tpu_options"]
 
@@ -352,6 +354,7 @@ class TestTpuOptions:
             {"compute_dtype": "fp16"},
             {"attn_impl": "triton"},
             {"rng_impl": "xorshift"},
+            {"adam_moment_dtype": "fp8"},
         ):
             with pytest.raises(ValueError):
                 SystemConfig.from_dict({**base, "tpu_options": section})

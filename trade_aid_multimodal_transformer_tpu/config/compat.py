@@ -170,6 +170,7 @@ class CompatibilityMode:
                 "attn_impl": sc.attn_impl,
                 "remat": sc.remat,
                 "rng_impl": sc.rng_impl,
+                "adam_moment_dtype": sc.adam_moment_dtype,
             }
             return params
 

@@ -64,6 +64,7 @@ class SystemConfig:
     attn_impl: str = "auto"          # 'auto' | 'jnp' | 'pallas'
     remat: bool = False              # rematerialize blocks in backward
     rng_impl: str = "auto"           # 'auto' | 'threefry2x32' | 'rbg'
+    adam_moment_dtype: str = "float32"  # 'float32' | 'bfloat16' (Adam mu)
 
     def __post_init__(self):
         """Validation rules pinned by the reference (config_manager.py:60-98)."""
@@ -117,6 +118,11 @@ class SystemConfig:
                 f"rng_impl must be 'auto', 'threefry2x32', 'rbg' or 'unsafe_rbg', "
                 f"got {self.rng_impl!r}"
             )
+        if self.adam_moment_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                "adam_moment_dtype must be 'float32' or 'bfloat16', "
+                f"got {self.adam_moment_dtype!r}"
+            )
 
     @classmethod
     def from_dict(cls, config_dict: Dict[str, Any]) -> "SystemConfig":
@@ -133,6 +139,7 @@ class SystemConfig:
             attn_impl=tpu.get("attn_impl", "auto"),
             remat=bool(tpu.get("remat", False)),
             rng_impl=tpu.get("rng_impl", "auto"),
+            adam_moment_dtype=tpu.get("adam_moment_dtype", "float32"),
             project_file_path=project.get("project_file_path", ""),
             output_file_name=project.get("output_file_name", "training_log.txt"),
             model_file_name=project.get("model_file_name", "model.pth"),
@@ -189,6 +196,7 @@ class SystemConfig:
                 "attn_impl": self.attn_impl,
                 "remat": self.remat,
                 "rng_impl": self.rng_impl,
+                "adam_moment_dtype": self.adam_moment_dtype,
             },
         }
 

@@ -342,7 +342,9 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
     )
     master_key, init_key = jax.random.split(master_key)
 
-    optimizer = make_optimizer(learning_rate)
+    optimizer = make_optimizer(
+        learning_rate, moment_dtype=sc.get("adam_moment_dtype", "float32")
+    )
     if create_new_model:
         print("Model: Creating new transformer...")
         params = init_params(init_key, cfg)
