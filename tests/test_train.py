@@ -209,3 +209,26 @@ class TestCheckpoint:
             z["sd::pre_block.position_embedding_table.weight"].astype(np.float32),
             atol=1e-7,
         )
+
+    def test_round_trip_with_bf16_adam_moments(self, setup, tmp_path):
+        """adam_moment_dtype='bfloat16' state must survive save/load with
+        dtype and values intact (bandwidth option, tpu_options section)."""
+        cfg, feed, trainer, params, _ = setup
+        opt = make_optimizer(1e-2, moment_dtype="bfloat16")
+        tr = Trainer(cfg, feed, opt, trainer.metric_specs, eval_iters=3)
+        p2, o2, losses = tr.train_chunk(
+            fresh(params), opt.init(fresh(params)), jax.random.PRNGKey(5), 3
+        )
+        assert np.all(np.isfinite(np.asarray(losses)))
+        mus = [x for x in jax.tree_util.tree_leaves(o2) if x.dtype == jnp.bfloat16]
+        assert mus, "expected bf16 first-moment leaves in the optimizer state"
+
+        path = str(tmp_path / "bf16mu.npz")
+        save_checkpoint(path, p2, o2, step=3)
+        p0 = init_params(jax.random.PRNGKey(99), cfg)
+        o0 = opt.init(p0)
+        p, o, step, _ = load_checkpoint(path, p0, o0)
+        assert step == 3
+        for a, b in zip(jax.tree_util.tree_leaves(o), jax.tree_util.tree_leaves(o2)):
+            assert a.dtype == b.dtype
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -28,12 +28,22 @@ _PARAMS_PREFIX = "params"
 _OPT_PREFIX = "opt"
 
 
+# npz has no bfloat16 (numpy serializes ml_dtypes arrays as raw void bytes
+# that cannot be cast back) — bf16 leaves are stored as uint16 bit-views
+# under a marked key and re-viewed on load.
+_BF16_SUFFIX = "::bf16"
+
+
 def _flatten(prefix: str, tree) -> Dict[str, np.ndarray]:
     flat = {}
     leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
     for path, leaf in leaves:
         key = prefix + jax.tree_util.keystr(path)
-        flat[key] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        if arr.dtype == jax.numpy.bfloat16.dtype:
+            flat[key + _BF16_SUFFIX] = arr.view(np.uint16)
+        else:
+            flat[key] = arr
     return flat
 
 
@@ -42,9 +52,12 @@ def _unflatten(prefix: str, template, data: Dict[str, np.ndarray]):
     leaves = []
     for path, leaf in paths_and_leaves[0]:
         key = prefix + jax.tree_util.keystr(path)
-        if key not in data:
+        if key + _BF16_SUFFIX in data:
+            arr = data[key + _BF16_SUFFIX].view(jax.numpy.bfloat16.dtype)
+        elif key in data:
+            arr = data[key]
+        else:
             raise KeyError(f"Checkpoint missing leaf {key}")
-        arr = data[key]
         leaves.append(arr.astype(np.asarray(leaf).dtype).reshape(np.shape(leaf)))
     return jax.tree_util.tree_unflatten(paths_and_leaves[1], leaves)
 
