@@ -132,6 +132,54 @@ class TestFlashCross:
         for a, b in zip(gf, gd):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
 
+    def test_in_kernel_dropout_semantics(self):
+        """Cross dropout: deterministic per key, per-stream independent,
+        zero-rate identical to the plain kernel, mean-preserving."""
+        ks = jax.random.split(jax.random.PRNGKey(17), 3)
+        q = jax.random.normal(ks[0], (1, 256, 16), jnp.float32)
+        k = jax.random.normal(ks[1], (2, 1, 256, 16), jnp.float32)
+        v = jax.random.normal(ks[2], (2, 1, 256, 16), jnp.float32)
+        base = flash_cross_attention(q, k, v, interpret=True)
+        z = flash_cross_attention(q, k, v, interpret=True, dropout_rate=0.0)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(z))
+
+        key = jax.random.PRNGKey(4)
+        a = flash_cross_attention(q, k, v, interpret=True, dropout_rate=0.3,
+                                  dropout_key=key)
+        b = flash_cross_attention(q, k, v, interpret=True, dropout_rate=0.3,
+                                  dropout_key=key)
+        c = flash_cross_attention(q, k, v, interpret=True, dropout_rate=0.3,
+                                  dropout_key=jax.random.PRNGKey(5))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not np.allclose(np.asarray(a), np.asarray(c))
+        outs = np.stack([
+            np.asarray(flash_cross_attention(q, k, v, interpret=True,
+                                             dropout_rate=0.3,
+                                             dropout_key=jax.random.PRNGKey(i)))
+            for i in range(24)
+        ])
+        err = np.abs(outs.mean(0) - np.asarray(base)).mean()
+        spread = np.abs(outs[0] - np.asarray(base)).mean()
+        assert err < spread / 2
+
+    def test_in_kernel_dropout_gradients(self):
+        """Backward mask regeneration (per-stream shifted seeds) must be
+        consistent with the fused forward — checked by finite differences."""
+        from jax.test_util import check_grads
+
+        ks = jax.random.split(jax.random.PRNGKey(19), 3)
+        q = jax.random.normal(ks[0], (1, 256, 8), jnp.float32)
+        k = jax.random.normal(ks[1], (2, 1, 256, 8), jnp.float32)
+        v = jax.random.normal(ks[2], (2, 1, 256, 8), jnp.float32)
+        key = jax.random.PRNGKey(23)
+
+        def f(q, k, v):
+            return flash_cross_attention(
+                q, k, v, interpret=True, dropout_rate=0.25, dropout_key=key
+            ).sum()
+
+        check_grads(f, (q, k, v), order=1, modes=("rev",), atol=2e-2, rtol=2e-2)
+
 
 class TestInKernelDropout:
     """Attention dropout generated inside the kernel (TPU-native PRNG): the

@@ -114,11 +114,16 @@ def cross_causal_attention(
     the stream sum into one Pallas kernel (ops/pallas_attention.py); else it
     broadcasts q against the streams in the dense core and sums.
     """
-    if impl in ("auto", "pallas") and not (train and dropout_rate > 0.0):
+    if impl in ("auto", "pallas"):
         from .pallas_attention import flash_cross_attention, flash_cross_eligible
 
         if flash_cross_eligible(q, k, v) and (impl == "pallas" or _on_tpu()):
-            return flash_cross_attention(q, k, v)
+            use_dropout = train and dropout_rate > 0.0
+            return flash_cross_attention(
+                q, k, v,
+                dropout_rate=dropout_rate if use_dropout else 0.0,
+                dropout_key=dropout_key if use_dropout else None,
+            )
     out = causal_attention_jnp(q[None], k, v, dropout_rate, dropout_key, train)
     return out.sum(axis=0)
 

@@ -417,8 +417,13 @@ _flash3.defvjp(_flash3_fwd, _flash3_bwd)
 # ------------------------------------------------------- cross-attention fused
 
 
+# per-stream seed offset (odd prime; injective for any realistic J)
+_STREAM_SEED_STRIDE = np.int32(1000003)
+
+
 def _flash_cross_kernel(
-    q_ref, k_ref, v_ref, o_ref, *, bq: int, bk: int, scale: float
+    q_ref, k_ref, v_ref, seed_ref, o_ref,
+    *, bq: int, bk: int, scale: float, rate: float, interpret: bool,
 ):
     """Causal flash attention for one KV stream, SUMMED into the output.
 
@@ -426,9 +431,16 @@ def _flash_cross_kernel(
     programs revisit the same output block — initialize at j==0, accumulate
     after (the per-stream outputs are never materialized; reference sums them
     post-hoc: model.py:158).
+
+    Dropout masks are keyed by (seed + (j+1)·stride, n, iq, jk) — the SAME
+    tuple the self-attention kernels use with a shifted seed, so the
+    backward can reproduce stream j's masks by running the blockwise self
+    backward with the shifted seed.
     """
     jj = pl.program_id(0)
+    n_idx = pl.program_id(1)
     iq = pl.program_id(2)
+    stream_seed = seed_ref[0] + (jj + 1) * _STREAM_SEED_STRIDE
     q = q_ref[0, 0].astype(jnp.float32)  # (bq, hs)
     hs = q.shape[-1]
     t_k = k_ref.shape[2]
@@ -453,15 +465,22 @@ def _flash_cross_kernel(
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
         l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        if rate > 0.0:
+            keep = _keep_mask(
+                stream_seed, n_idx, iq, jk, (bq, bk), rate, interpret
+            )
+            p_acc = jnp.where(keep, p, 0.0)
+        else:
+            p_acc = p
         acc = acc * corr + jax.lax.dot_general(
-            p, v_blk, dimension_numbers=(((1,), (0,)), ((), ())),
+            p_acc, v_blk, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return m_new, l, acc
 
     num_kv_blocks = jnp.minimum((q_offset + bq + bk - 1) // bk, t_k // bk)
     m, l, acc = jax.lax.fori_loop(0, num_kv_blocks, body, (m0, l0, acc0))
-    stream_out = (acc / l).astype(o_ref.dtype)
+    stream_out = (acc / (l * (1.0 - rate))).astype(o_ref.dtype)
 
     @pl.when(jj == 0)
     def _():
@@ -472,11 +491,14 @@ def _flash_cross_kernel(
         o_ref[0, 0] = o_ref[0, 0] + stream_out
 
 
-def _flash_cross_forward(q, k, v, bq, bk, interpret):
+def _flash_cross_forward(q, k, v, seed, bq, bk, rate, interpret):
     """q: (N, T, hs); k, v: (J, N, T, hs). Returns sum_j attn(q, k_j, v_j)."""
     j, n, t, hs = k.shape
     scale = hs ** -0.5
-    kernel = functools.partial(_flash_cross_kernel, bq=bq, bk=bk, scale=scale)
+    kernel = functools.partial(
+        _flash_cross_kernel, bq=bq, bk=bk, scale=scale, rate=rate,
+        interpret=interpret,
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, n, t, hs), q.dtype),
@@ -485,6 +507,7 @@ def _flash_cross_forward(q, k, v, bq, bk, interpret):
             pl.BlockSpec((1, 1, bq, hs), lambda jj, i, iq: (0, i, iq, 0)),
             pl.BlockSpec((1, 1, t, hs), lambda jj, i, iq: (jj, i, 0, 0)),
             pl.BlockSpec((1, 1, t, hs), lambda jj, i, iq: (jj, i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, bq, hs), lambda jj, i, iq: (0, i, iq, 0)),
         interpret=interpret,
@@ -493,39 +516,44 @@ def _flash_cross_forward(q, k, v, bq, bk, interpret):
             bytes_accessed=(2 * j + 2) * n * t * hs * 4,
             transcendentals=j * n * t * t // 2,
         ),
-    )(q[None], k, v)
+    )(q[None], k, v, seed)
     return out[0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_cross(q, k, v, bq, bk, interpret):
-    return _flash_cross_forward(q, k, v, bq, bk, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_cross(q, k, v, seed, bq, bk, rate, interpret):
+    return _flash_cross_forward(q, k, v, seed, bq, bk, rate, interpret)
 
 
-def _flash_cross_fwd(q, k, v, bq, bk, interpret):
-    return _flash_cross_forward(q, k, v, bq, bk, interpret), (q, k, v)
+def _flash_cross_fwd(q, k, v, seed, bq, bk, rate, interpret):
+    return (
+        _flash_cross_forward(q, k, v, seed, bq, bk, rate, interpret),
+        (q, k, v, seed),
+    )
 
 
-def _flash_cross_bwd(bq, bk, interpret, res, g):
+def _flash_cross_bwd(bq, bk, rate, interpret, res, g):
     # Blockwise per-stream backward: out = Σ_j attn(q, k_j, v_j) with
     # independent softmaxes, so d/d(q, k_j, v_j) decomposes per stream with
     # the SAME cotangent g. Each stream recomputes its (out_j, lse_j)
     # through the blockwise forward and differentiates through the blockwise
-    # dQ / dK+dV kernels — nothing of size T² touches HBM. The J loop
-    # unrolls at trace time (J = num_modalities - 1, small by construction).
-    q, k, v = res
-    seed = jnp.zeros((1,), jnp.int32)
+    # dQ / dK+dV kernels — nothing of size T² touches HBM. Stream j's
+    # dropout masks reproduce from the shifted seed (same keying as the
+    # fused forward). The J loop unrolls at trace time (J = num_modalities
+    # - 1, small by construction).
+    q, k, v, seed = res
     dq = jnp.zeros_like(q)
     dks, dvs = [], []
     for j in range(k.shape[0]):
-        out_j, lse_j = _flash_forward(q, k[j], v[j], seed, bq, bk, 0.0, interpret)
+        seed_j = seed + (j + 1) * _STREAM_SEED_STRIDE
+        out_j, lse_j = _flash_forward(q, k[j], v[j], seed_j, bq, bk, rate, interpret)
         dq_j, dk_j, dv_j = _flash_backward(
-            q, k[j], v[j], out_j, lse_j, g, seed, bq, bk, 0.0, interpret
+            q, k[j], v[j], out_j, lse_j, g, seed_j, bq, bk, rate, interpret
         )
         dq = dq + dq_j
         dks.append(dk_j)
         dvs.append(dv_j)
-    return dq, jnp.stack(dks), jnp.stack(dvs)
+    return dq, jnp.stack(dks), jnp.stack(dvs), None
 
 
 _flash_cross.defvjp(_flash_cross_fwd, _flash_cross_bwd)
@@ -546,13 +574,20 @@ def flash_cross_eligible(q: jax.Array, k: jax.Array, v: jax.Array) -> bool:
 
 
 def flash_cross_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, interpret: bool = False
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    interpret: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Sum over J KV streams of causal attention, fused in one kernel.
 
     q: (..., T, hs); k, v: (J, ..., T, hs). Differentiable: the custom VJP
     runs the blockwise dQ / dK+dV kernels per stream (independent softmaxes
     decompose the gradient), so forward AND backward are O(T) memory.
+    Attention dropout (dropout_rate > 0) runs in-kernel with per-stream
+    seeds, like ``flash_causal_attention``.
     """
     jdim = k.shape[0]
     lead = q.shape[:-2]
@@ -565,7 +600,16 @@ def flash_cross_attention(
     v4 = v.reshape(jdim, n, t, hs)
     bq = min(DEFAULT_BQ, t)
     bk = min(DEFAULT_BK, t)
-    out = _flash_cross(q3, k4, v4, bq, bk, interpret)
+    rate = float(dropout_rate)
+    if rate > 0.0:
+        if dropout_key is None:
+            raise ValueError("dropout_rate > 0 requires dropout_key")
+        seed = jax.lax.bitcast_convert_type(
+            jax.random.bits(dropout_key, (1,), "uint32"), jnp.int32
+        )
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    out = _flash_cross(q3, k4, v4, seed, bq, bk, rate, interpret)
     return out.reshape(*lead, t, hs)
 
 
