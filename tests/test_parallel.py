@@ -1,0 +1,244 @@
+"""Numerical tests for the parallel/ subsystem (DP, TP, sharding specs).
+
+The reference is single-device (reference: main.py:598-652 is one Python
+process stepping one model), so the semantics every sharded path must
+reproduce are the single-device trainer's: same batches, same gradients,
+same optimizer trajectory. These tests pin that equivalence on the 8-CPU
+virtual mesh from conftest.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from trade_aid_multimodal_transformer_tpu.models.config import ModelConfig
+from trade_aid_multimodal_transformer_tpu.models.init import init_params
+from trade_aid_multimodal_transformer_tpu.models.transformer import total_loss
+from trade_aid_multimodal_transformer_tpu.parallel import (
+    make_mesh,
+    make_shard_map_dp_step,
+    make_sharded_trainer,
+    param_pspecs,
+    shard_train_state,
+)
+from trade_aid_multimodal_transformer_tpu.sampling.feed import BatchFeed
+from trade_aid_multimodal_transformer_tpu.train.metrics import build_metric_specs
+from trade_aid_multimodal_transformer_tpu.train.steps import Trainer, make_optimizer
+
+N_DEV = 8
+
+
+def _cfg(**kw):
+    base = dict(
+        vocab_sizes=(48, 12),
+        cross_attention=(True, False),
+        n_embd=32,
+        n_head=4,
+        n_layer=2,
+        block_size=8,
+        dropout=0.1,
+        attn_impl="jnp",
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def _feed(cfg, batch=16, n=512):
+    rng = np.random.default_rng(0)
+    train_sets = [rng.integers(0, v, n - 64).astype(np.int32) for v in cfg.vocab_sizes]
+    val_sets = [rng.integers(0, v, 64).astype(np.int32) for v in cfg.vocab_sizes]
+    return BatchFeed(
+        train_sets, val_sets, [n], cfg.block_size, batch,
+        is_percents=False, rand_sizes=[1, None],
+        vocab_sizes=list(cfg.vocab_sizes),
+    )
+
+
+def _specs(cfg):
+    return build_metric_specs(
+        [list(np.linspace(-1.0, 1.0, v)) for v in cfg.vocab_sizes],
+        [False, False],
+        cfg.block_size,
+    )
+
+
+@pytest.fixture(scope="module")
+def devices():
+    devs = jax.devices()
+    assert len(devs) >= N_DEV, "conftest must provide the 8-CPU virtual mesh"
+    return devs[:N_DEV]
+
+
+class TestShardMapDP:
+    def test_matches_manual_per_device_replication(self, devices):
+        """The explicit shard_map+psum step must equal running each device's
+        sub-batch sequentially on one device and averaging the gradients —
+        i.e. the reference's single-device semantics over the union batch."""
+        cfg = _cfg()
+        feed = _feed(cfg)
+        optimizer = make_optimizer(1e-3)
+        mesh = make_mesh(N_DEV, 1, devices)
+        dp_step = make_shard_map_dp_step(cfg, feed, optimizer, mesh)
+
+        key0 = jax.random.PRNGKey(7)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        opt_state = optimizer.init(params)
+        # dp_step donates its inputs; keep originals for the manual replay.
+        p_dp, o_dp, loss_dp = dp_step(
+            jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, opt_state), key0
+        )
+
+        per_dev = feed.batch_size // N_DEV
+        grads_acc, loss_acc = None, 0.0
+        for d in range(N_DEV):
+            kd = jax.random.fold_in(key0, d)
+            k_batch, k_drop = jax.random.split(kd)
+            xb, yb = feed._sample_impl(
+                k_batch, split="train", augment=True, batch_size=per_dev
+            )
+            (loss, _), grads = jax.value_and_grad(total_loss, has_aux=True)(
+                params, cfg, xb, yb, k_drop, True
+            )
+            loss_acc += loss / N_DEV
+            grads = jax.tree.map(lambda g: g / N_DEV, grads)
+            grads_acc = (
+                grads if grads_acc is None
+                else jax.tree.map(jnp.add, grads_acc, grads)
+            )
+        updates, opt_ref = optimizer.update(grads_acc, opt_state, params)
+        p_ref = optax.apply_updates(params, updates)
+
+        assert float(jnp.abs(loss_dp - loss_acc)) < 1e-5
+        # psum's tree reduction vs the sequential sum here: order-of-addition
+        # float noise only.
+        for a, b in zip(jax.tree.leaves(p_dp), jax.tree.leaves(p_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_requires_data_only_mesh(self, devices):
+        cfg = _cfg()
+        feed = _feed(cfg)
+        mesh = make_mesh(N_DEV // 2, 2, devices)
+        with pytest.raises(ValueError, match="data-only mesh"):
+            make_shard_map_dp_step(cfg, feed, make_optimizer(1e-3), mesh)
+
+
+class TestShardedTrainerEquivalence:
+    @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+    def test_train_chunk_matches_unsharded(self, devices, mesh_shape):
+        """The compiler-partitioned dp x tp trainer must reproduce the
+        unsharded Trainer's trajectory: same keys → same batches → same
+        params, up to reduction-order float noise."""
+        cfg = _cfg()
+        feed = _feed(cfg)
+        optimizer = make_optimizer(1e-3)
+        specs = _specs(cfg)
+        data_ax, model_ax = mesh_shape
+        mesh = make_mesh(data_ax, model_ax, devices)
+
+        base = Trainer(cfg, feed, optimizer, specs, eval_iters=2)
+        p0 = init_params(jax.random.PRNGKey(0), cfg)
+        o0 = optimizer.init(p0)
+        p_ref, o_ref, losses_ref = base.train_chunk(
+            p0, o0, jax.random.PRNGKey(1), 3
+        )
+
+        sharded = make_sharded_trainer(
+            cfg, feed, optimizer, specs, 2, mesh, model_axis=model_ax > 1
+        )
+        p1 = init_params(jax.random.PRNGKey(0), cfg)
+        p1, o1 = shard_train_state(
+            p1, optimizer, mesh, cfg.n_head, model_axis=model_ax > 1
+        )
+        p_sh, o_sh, losses_sh = sharded.train_chunk(
+            p1, o1, jax.random.PRNGKey(1), 3
+        )
+
+        np.testing.assert_allclose(
+            np.asarray(losses_ref), np.asarray(losses_sh), rtol=1e-5, atol=1e-6
+        )
+        for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sh)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+            )
+
+        # Eval must agree too (metrics are integer win/loss counts: exact).
+        s_ref = base.eval_pass(p_ref, jax.random.PRNGKey(2), "val")
+        s_sh = sharded.eval_pass(p_sh, jax.random.PRNGKey(2), "val")
+        np.testing.assert_allclose(
+            float(s_ref.mean_loss), float(s_sh.mean_loss), rtol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(s_ref.wins), np.asarray(s_sh.wins))
+        np.testing.assert_array_equal(
+            np.asarray(s_ref.losses), np.asarray(s_sh.losses)
+        )
+
+    def test_tp_params_actually_sharded(self, devices):
+        """Under a model axis, the big matmul weights must physically live
+        on multiple devices (not just carry a spec)."""
+        cfg = _cfg()
+        optimizer = make_optimizer(1e-3)
+        mesh = make_mesh(4, 2, devices)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        params, _ = shard_train_state(params, optimizer, mesh, cfg.n_head)
+        w1 = params["blocks"][0]["ffwd"]["w1"]
+        shard_shapes = {s.data.shape for s in w1.addressable_shards}
+        assert len(w1.sharding.device_set) == 8
+        # column-parallel: last dim split in 2
+        assert all(s[-1] == w1.shape[-1] // 2 for s in shard_shapes)
+
+
+class TestParamPspecs:
+    def test_full_tp_coverage(self):
+        """Every large parameter family gets a non-replicated spec when dims
+        divide the model axis; silent fall-through to replicated is only
+        allowed for the documented-replicated families."""
+        cfg = _cfg(vocab_sizes=(48, 12))  # V and V//2 divisible by 2
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        specs = param_pspecs(params, cfg.n_head, model_axis=True, model_size=2)
+
+        flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+        sharded_paths, replicated_paths = set(), set()
+        for path, spec in flat:
+            names = "/".join(
+                str(getattr(p, "key", getattr(p, "idx", None))) for p in path
+            )
+            if any(ax == "model" for ax in spec):
+                sharded_paths.add(names)
+            else:
+                replicated_paths.add(names)
+
+        # Families that MUST be sharded at these shapes.
+        for frag in (
+            "sa/w1_k", "sa/w1_q", "sa/w1_v", "sa/b1_k", "sa/w2_k", "sa/proj_w1",
+            "ffwd/w1", "ffwd/b1", "ffwd/w2",
+            "pre/tok_emb/0", "pre/tok_emb/1",
+            "post/heads/0/w1", "post/heads/0/w2", "post/heads/1/w1",
+        ):
+            assert any(frag in p for p in sharded_paths), f"{frag} not sharded"
+
+        # Documented-replicated families must NOT be sharded.
+        for frag in ("ln1", "ln2", "pos_emb", "proj_w2", "cross", "ln_scale"):
+            assert not any(frag in p for p in sharded_paths), f"{frag} sharded"
+
+        # Total coverage: a spec exists for every param leaf.
+        assert len(flat) == len(jax.tree_util.tree_leaves(params))
+
+    def test_renamed_param_raises(self):
+        """A renamed sa/ffwd leaf must raise, not silently replicate."""
+        cfg = _cfg()
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        params["blocks"][0]["sa"]["mystery_w"] = jnp.zeros((2, 4, 4))
+        with pytest.raises(ValueError, match="unknown self-attention"):
+            param_pspecs(params, cfg.n_head, model_axis=True, model_size=2)
+
+    def test_indivisible_dims_fall_back_to_replicated(self):
+        cfg = _cfg(vocab_sizes=(37, 11))  # 37 rows / 11//2=5 cols: not /2
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        specs = param_pspecs(params, cfg.n_head, model_axis=True, model_size=2)
+        assert specs["pre"]["tok_emb"][0] == P()
+        assert specs["post"]["heads"][1]["w1"] == P()
+        # head 0: 37//2=18 divides 2 → still sharded
+        assert any(ax == "model" for ax in specs["post"]["heads"][0]["w1"])

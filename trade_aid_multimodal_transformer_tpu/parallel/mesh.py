@@ -52,44 +52,82 @@ def batch_pspec() -> P:
     return P(None, "data", None)
 
 
-def param_pspecs(params: Dict[str, Any], n_head: int, model_axis: bool = True) -> Dict[str, Any]:
+def param_pspecs(
+    params: Dict[str, Any],
+    n_head: int,
+    model_axis: bool = True,
+    model_size: int = 1,
+) -> Dict[str, Any]:
     """PartitionSpec tree for the model parameter pytree.
 
-    Tensor-parallel layout (when ``model_axis``):
-    - self-attention QKV first projections (M, C, H*hs2): columns are
-      head-major, so sharding the last axis over 'model' distributes whole
-      heads; second projections (M, H, hs2, hs) shard the head axis.
-    - attention output projection (M, H*hs, C2): row-parallel over heads
-      (XLA inserts the psum for the row-parallel matmul).
-    - FFN (M, C, 4C)/(M, 4C, C): column-parallel then row-parallel over the
-      hidden dim.
-    - embeddings, layernorms, cross-attention, vocab heads: replicated
-      (small relative to the stacks; candidates for later rounds).
+    Placement table (every parameter family; when ``model_axis``):
+
+    | family                      | shape            | spec (over 'model')  |
+    |-----------------------------|------------------|----------------------|
+    | sa.w1_{k,q,v}, sa.b1_*      | (M, C, H*hs2)    | last axis — head-major columns, whole heads per shard |
+    | sa.w2_{k,q,v}               | (M, H, hs2, hs)  | head axis            |
+    | sa.proj_w1                  | (M, H*hs, C2)    | row-parallel over heads (XLA psums) |
+    | sa.proj_w2/proj_b1/proj_b2  | —                | replicated (follows the psum'd row-parallel output) |
+    | ffwd.w1, ffwd.b1            | (M, C, 4C)       | column-parallel over hidden |
+    | ffwd.w2                     | (M, 4C, C)       | row-parallel over hidden |
+    | ffwd.b2                     | (M, C)           | replicated           |
+    | pre.tok_emb[i]              | (V_i, C)         | vocab rows (Megatron-style; XLA masks+psums the gather) |
+    | pre.pos_emb                 | (T, C)           | replicated (tiny)    |
+    | post.heads[i].w1, .b1       | (C, V_i//2)      | column-parallel over V_i//2 |
+    | post.heads[i].w2            | (V_i//2, V_i)    | row-parallel over V_i//2 |
+    | post.heads[i].b2            | (V_i,)           | replicated           |
+    | ln1/ln2/post ln             | (M, C)           | replicated           |
+    | cross.*                     | —                | replicated (small: only cross-enabled modalities; H may be odd) |
+
+    Dims not divisible by the model-axis size fall back to replicated for
+    that leaf (device_put needs even shards; tiny demo vocabs hit this).
+    Unknown leaf names under sa/ffwd/heads raise — a renamed parameter must
+    update this table, never silently fall to replicated.
     """
     mdl = "model" if model_axis else None
+
+    def sharded(leaf, axis: int) -> P:
+        """Spec sharding `axis` of `leaf` over 'model', or replicated if the
+        dim doesn't divide evenly."""
+        if mdl is None or leaf.shape[axis] % max(model_size, 1) != 0:
+            return P()
+        spec = [None] * leaf.ndim
+        spec[axis] = mdl
+        return P(*spec)
 
     def spec_for(path: Tuple[str, ...], leaf) -> P:
         names = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
         names = [str(n) for n in names]
         joined = "/".join(names)
-        if mdl is None:
-            return P()
+        last = names[-1]
         if "/sa/" in f"/{joined}/":
-            last = names[-1]
             if last.startswith("w1_") or last.startswith("b1_"):
-                return P(*([None] * (leaf.ndim - 1)), mdl)      # head-major cols
+                return sharded(leaf, leaf.ndim - 1)   # head-major columns
             if last.startswith("w2_"):
-                return P(None, mdl, None, None)                  # head axis
+                return sharded(leaf, 1)               # head axis
             if last == "proj_w1":
-                return P(None, mdl, None)                        # row-parallel
-            return P()
+                return sharded(leaf, 1)               # row-parallel over heads
+            if last in ("proj_w2", "proj_b1", "proj_b2"):
+                return P()
+            raise ValueError(f"unknown self-attention parameter: {joined}")
         if "/ffwd/" in f"/{joined}/":
-            last = names[-1]
             if last in ("w1", "b1"):
-                return P(*([None] * (leaf.ndim - 1)), mdl)       # col-parallel
+                return sharded(leaf, leaf.ndim - 1)   # column-parallel
             if last == "w2":
-                return P(None, mdl, None)                        # row-parallel
-            return P()
+                return sharded(leaf, 1)               # row-parallel
+            if last == "b2":
+                return P()
+            raise ValueError(f"unknown feed-forward parameter: {joined}")
+        if "/heads/" in f"/{joined}/":
+            if last in ("w1", "b1"):
+                return sharded(leaf, leaf.ndim - 1)   # column-parallel V//2
+            if last == "w2":
+                return sharded(leaf, 0)               # row-parallel V//2
+            if last == "b2":
+                return P()
+            raise ValueError(f"unknown vocab-head parameter: {joined}")
+        if "/tok_emb/" in f"/{joined}/":
+            return sharded(leaf, 0)                   # vocab rows
         return P()
 
     flat = jax.tree_util.tree_flatten_with_path(params)
@@ -99,7 +137,10 @@ def param_pspecs(params: Dict[str, Any], n_head: int, model_axis: bool = True) -
 
 def shard_params(params, mesh: Mesh, n_head: int, model_axis: bool = True):
     """Place the parameter pytree onto the mesh per param_pspecs."""
-    specs = param_pspecs(params, n_head, model_axis=model_axis)
+    specs = param_pspecs(
+        params, n_head, model_axis=model_axis,
+        model_size=mesh.shape.get("model", 1),
+    )
     return jax.tree.map(
         lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
         params,
