@@ -337,6 +337,8 @@ class TestTpuOptions:
                 "remat": True,
                 "rng_impl": "rbg",
                 "adam_moment_dtype": "bfloat16",
+                "compat_legacy_rand_index": True,
+                "compat_percent_decimals_from_ranging": True,
             },
         }
         cfg = SystemConfig.from_dict(d)
@@ -345,6 +347,8 @@ class TestTpuOptions:
         assert cfg.remat is True
         assert cfg.rng_impl == "rbg"
         assert cfg.adam_moment_dtype == "bfloat16"
+        assert cfg.compat_legacy_rand_index is True
+        assert cfg.compat_percent_decimals_from_ranging is True
         rt = SystemConfig.from_dict(cfg.to_dict())
         assert rt.to_dict()["tpu_options"] == d["tpu_options"]
 

@@ -7,25 +7,43 @@ reference ships the engine but its entry script re-implements only the three
 built-ins inline and never executes configured external functions (verified:
 reference main.py:116-207 vs processing_pipeline.py — the engine is only
 reachable through compatibility_layer.process_modality_data, which nothing
-calls). Here, ``data.loader`` drives every enabled step — built-in or
-external — through this engine in declared order, which is the behavior the
-reference documents (reference README.md custom-processing sections).
+calls). Here, ``data.ingest.apply_processing_steps`` — the single per-modality
+ingestion path used by ``train.runner`` — delegates every enabled step, built-in
+or external, to ``ProcessingPipeline.execute`` in declared order, which is the
+behavior the reference documents (reference README.md custom-processing
+sections). A test pins that ``default_pipeline.execution_history`` is populated
+by a real ``run_training`` demo run.
 
-Percent-change conversion is special-cased by the loader to run per file
-segment so each file's first element resets to 0.0 (reference:
-file_cache.py:298-325); all other steps see the concatenated stream.
+Main-path execution options (keyword-only on ``execute``):
+
+- ``file_info`` — when given, percent-change conversion runs per file segment
+  so each file's first element resets to 0.0, with the lenient warn-and-emit-
+  0.0 zero handling (reference: file_cache.py:298-325); all other steps see
+  the concatenated stream.
+- ``main_path_defaults`` — the entry script's binning defaults
+  (outlier_percentile 0.1, exponent 2.2; reference: main.py:167-174), which
+  override the function's own 5 / 2.0 defaults.
+- ``percent_decimal_places`` — overrides the percent step's own
+  ``decimal_places`` (used by the ``compat_percent_decimals_from_ranging``
+  quirk flag, reference: file_cache.py:271,302).
+- ``on_step`` / ``raise_errors`` — console-parity callback; error propagation
+  for the entry path (the reference entry script crashes on transform errors
+  rather than recording them).
 """
 
 from __future__ import annotations
 
 import logging
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 from .registry import resolve_function
 from .schema import InputSchema, ProcessingStep
 
 logger = logging.getLogger(__name__)
+
+# Sentinel: distinguish "no override" from "override with None (use 2)".
+_UNSET = object()
 
 
 @dataclass
@@ -63,6 +81,12 @@ class ProcessingPipeline:
         initial_data: Any,
         processing_steps: List[ProcessingStep],
         modality_name: str = "Unknown",
+        *,
+        file_info: Optional[List] = None,
+        main_path_defaults: bool = False,
+        percent_decimal_places: Any = _UNSET,
+        on_step: Optional[Callable[[int, ProcessingStep, Dict[str, Any], Any], None]] = None,
+        raise_errors: bool = False,
     ) -> PipelineResult:
         result = PipelineResult(
             processed_data=initial_data,
@@ -74,11 +98,13 @@ class ProcessingPipeline:
             result.execution_log.append(
                 "No processing steps defined - returning original data"
             )
+            self.execution_history.append(result)
             return result
         if not enabled_steps:
             result.execution_log.append(
                 "No enabled processing steps - returning original data"
             )
+            self.execution_history.append(result)
             return result
 
         current_data = initial_data
@@ -87,26 +113,64 @@ class ProcessingPipeline:
                 step_name = f"Step {i+1}: {step.function}"
                 if self.enable_logging:
                     logger.info(f"Executing {step_name} for modality '{modality_name}'")
-                try:
-                    function = resolve_function(step.function)
+
+                args = dict(step.args)
+                if main_path_defaults and step.function == "bin_numeric_data":
+                    # Entry-script defaults (reference: main.py:167-174).
+                    if args.get("outlier_percentile") is None:
+                        args["outlier_percentile"] = 0.1
+                    if args.get("exponent") is None:
+                        args["exponent"] = 2.2
+                if (
+                    percent_decimal_places is not _UNSET
+                    and step.function == "convert_to_percent_changes"
+                ):
+                    args["decimal_places"] = percent_decimal_places
+
+                per_segment_percent = (
+                    file_info is not None
+                    and step.function == "convert_to_percent_changes"
+                )
+                if per_segment_percent:
+                    function = None
                     result.execution_log.append(
-                        f"OK {step_name} - Function resolved successfully"
+                        f"OK {step_name} - Per-file-segment built-in"
                     )
-                except Exception as e:
-                    msg = f"ERROR {step_name} - Failed to resolve function: {e}"
-                    result.execution_log.append(msg)
-                    result.error = msg
-                    logger.error(msg)
-                    break
+                else:
+                    try:
+                        function = resolve_function(step.function)
+                        result.execution_log.append(
+                            f"OK {step_name} - Function resolved successfully"
+                        )
+                    except Exception as e:
+                        if raise_errors:
+                            raise
+                        msg = f"ERROR {step_name} - Failed to resolve function: {e}"
+                        result.execution_log.append(msg)
+                        result.error = msg
+                        logger.error(msg)
+                        break
+
+                if on_step is not None:
+                    on_step(i, step, args, current_data)
 
                 try:
-                    current_data = function(current_data, **step.args)
+                    if per_segment_percent:
+                        from ..data.ingest import apply_percent_per_segment
+
+                        current_data = apply_percent_per_segment(
+                            current_data, file_info, args.get("decimal_places")
+                        )
+                    else:
+                        current_data = function(current_data, **args)
                     result.successful_steps += 1
-                    args_str = f" with args {step.args}" if step.args else ""
+                    args_str = f" with args {args}" if args else ""
                     result.execution_log.append(
                         f"OK {step_name} - Executed successfully{args_str}"
                     )
                 except Exception as e:
+                    if raise_errors:
+                        raise
                     msg = f"ERROR {step_name} - Execution failed: {e}"
                     result.execution_log.append(msg)
                     result.error = msg

@@ -65,6 +65,16 @@ class SystemConfig:
     remat: bool = False              # rematerialize blocks in backward
     rng_impl: str = "auto"           # 'auto' | 'threefry2x32' | 'rbg'
     adam_moment_dtype: str = "float32"  # 'float32' | 'bfloat16' (Adam mu)
+    # Reference-quirk compatibility flags (SURVEY §7; default = documented
+    # intent, True = reproduce the reference's as-shipped behavior):
+    # Q1 — the reference reads the augmentation size from legacy-list slot
+    # [2] (has_header) instead of [7] (randomness_size)
+    # (reference: training_utils.py:353).
+    compat_legacy_rand_index: bool = False
+    # The reference's loader reads the *ranging* step's decimal_places
+    # (legacy slot [5]) for percent-change rounding instead of the percent
+    # step's own argument (reference: file_cache.py:271,302).
+    compat_percent_decimals_from_ranging: bool = False
 
     def __post_init__(self):
         """Validation rules pinned by the reference (config_manager.py:60-98)."""
@@ -140,6 +150,10 @@ class SystemConfig:
             remat=bool(tpu.get("remat", False)),
             rng_impl=tpu.get("rng_impl", "auto"),
             adam_moment_dtype=tpu.get("adam_moment_dtype", "float32"),
+            compat_legacy_rand_index=bool(tpu.get("compat_legacy_rand_index", False)),
+            compat_percent_decimals_from_ranging=bool(
+                tpu.get("compat_percent_decimals_from_ranging", False)
+            ),
             project_file_path=project.get("project_file_path", ""),
             output_file_name=project.get("output_file_name", "training_log.txt"),
             model_file_name=project.get("model_file_name", "model.pth"),
@@ -197,6 +211,8 @@ class SystemConfig:
                 "remat": self.remat,
                 "rng_impl": self.rng_impl,
                 "adam_moment_dtype": self.adam_moment_dtype,
+                "compat_legacy_rand_index": self.compat_legacy_rand_index,
+                "compat_percent_decimals_from_ranging": self.compat_percent_decimals_from_ranging,
             },
         }
 

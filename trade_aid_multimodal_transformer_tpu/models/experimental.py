@@ -36,5 +36,7 @@ def fixed_embedding_lookup(table: jax.Array, tokens: jax.Array) -> jax.Array:
 
 def long_tanh(x: jax.Array) -> jax.Array:
     """tanh then truncation to integers in {-1, 0, 1}
-    (reference: model.py:280-282)."""
-    return jnp.tanh(x).astype(jnp.int64)
+    (reference: model.py:280-282). int64 when x64 is enabled, else int32 —
+    the values fit either way."""
+    dtype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+    return jnp.tanh(x).astype(dtype)

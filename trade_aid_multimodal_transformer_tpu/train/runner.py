@@ -173,53 +173,14 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
     modalities: List[ModalityData] = []
     for i, schema in enumerate(schemas):
         print(f"  Loading modality {i + 1}: '{schema.modality_name}'")
-        raw, file_info = None, None
-        from ..data.ingest import apply_processing_steps, load_modality_raw
-
-        raw, file_info = load_modality_raw(
-            str(schema.path), schema.column_number, schema.has_header
-        )
-        data_length = len(raw)
-        file_count = len(file_info) // 2 if file_info else 0
-        print(f"  Summary: {data_length:,} data points ({file_count} files loaded)")
-
-        enabled_steps = schema.enabled_steps
-        printer = _StepPrinter(len(enabled_steps))
-
-        # The reference counts the "raw" vocabulary after percent conversion
-        # (applied inside its loader) but before range/bin transforms
-        # (reference: main.py:93-95 with file_cache.py:298-325) — snapshot at
-        # the first non-percent step for display parity.
-        raw_vocab_snapshot = [None]
-
-        def on_step(i, step, args, data, _printer=printer, _snap=raw_vocab_snapshot):
-            if _snap[0] is None and step.function != "convert_to_percent_changes":
-                _snap[0] = len(set(data))
-            _printer(i, step, args, data)
-
-        if enabled_steps:
-            # numeric guard for ranging, reference: main.py:127-165
-            processed, applied = apply_processing_steps(
-                raw, file_info, schema.processing_steps, on_step=on_step
-            )
-        else:
-            print()
-            print("  Processing: No processing specified")
-            processed, applied = raw, []
-
-        raw_vocab_size = (
-            raw_vocab_snapshot[0]
-            if raw_vocab_snapshot[0] is not None
-            else len(set(processed))
-        )
+        printer = _StepPrinter(len(schema.enabled_steps))
         modalities.append(
-            ModalityData(
-                name=schema.modality_name,
-                data=processed,
-                file_info=file_info,
-                raw_vocab_size=raw_vocab_size,
-                is_percent=schema.is_percent,
-                steps_applied=applied,
+            load_and_process_modality(
+                schema,
+                on_step=printer,
+                compat_percent_decimals_from_ranging=sc.get(
+                    "compat_percent_decimals_from_ranging", False
+                ),
             )
         )
         if i < len(schemas) - 1:
@@ -370,7 +331,10 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
             print("Model: Created successfully")
 
     # --------------------------------------------------- feed, trainer, logs
-    rand_sizes = resolve_rand_sizes(modality_params_list)
+    rand_sizes = resolve_rand_sizes(
+        modality_params_list,
+        compat_legacy_rand_index=sc.get("compat_legacy_rand_index", False),
+    )
     feed = BatchFeed(
         all_train_sets, all_val_sets, file_lengths, block_size, batch_size,
         is_percents, rand_sizes, all_vocab_sizes,
