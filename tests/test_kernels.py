@@ -266,3 +266,79 @@ class TestDispatch:
         )
         ref = causal_attention_jnp(q, k, v)
         assert not np.allclose(np.asarray(out), np.asarray(ref))
+
+
+class TestChunkPrimitives:
+    """The ring/CP chunk core: the Pallas chunk kernels (causal AND full-mask
+    variants) must match the dense jnp mirror in values, lse, and the
+    given-lse backward — this is the 'shared per-chunk math' contract between
+    ops/pallas_attention.py and parallel/ring_attention.py."""
+
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_chunk_fwd_matches_jnp(self, causal):
+        from trade_aid_multimodal_transformer_tpu.ops.attention import chunk_fwd_jnp
+        from trade_aid_multimodal_transformer_tpu.ops.pallas_attention import (
+            flash_chunk_fwd,
+        )
+
+        q, k, v = qkv(2, 256, 16, seed=41)
+        out_p, lse_p = flash_chunk_fwd(q, k, v, causal, interpret=True)
+        out_j, lse_j = chunk_fwd_jnp(q, k, v, causal)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_j), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(lse_p), np.asarray(lse_j), atol=2e-5)
+
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_chunk_bwd_matches_jnp(self, causal):
+        from trade_aid_multimodal_transformer_tpu.ops.attention import (
+            chunk_bwd_jnp,
+            chunk_fwd_jnp,
+        )
+        from trade_aid_multimodal_transformer_tpu.ops.pallas_attention import (
+            flash_chunk_bwd,
+        )
+
+        q, k, v = qkv(2, 256, 16, seed=43)
+        out, lse = chunk_fwd_jnp(q, k, v, causal)
+        g = jax.random.normal(jax.random.PRNGKey(3), out.shape, out.dtype)
+        d_p = flash_chunk_bwd(q, k, v, out, lse, g, causal, interpret=True)
+        d_j = chunk_bwd_jnp(q, k, v, out, lse, g, causal)
+        for gp, gj, name in zip(d_p, d_j, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(gp), np.asarray(gj), atol=3e-5,
+                err_msg=f"chunk d{name} mismatch (causal={causal})",
+            )
+
+    def test_full_chunk_different_kv_length(self):
+        """Non-causal chunks may have t_k != t_q (KV-cache / ring shapes)."""
+        from trade_aid_multimodal_transformer_tpu.ops.attention import chunk_fwd_jnp
+        from trade_aid_multimodal_transformer_tpu.ops.pallas_attention import (
+            flash_chunk_fwd,
+        )
+
+        q, _, _ = qkv(2, 128, 16, seed=45)
+        _, k, v = qkv(2, 256, 16, seed=46)
+        out_p, lse_p = flash_chunk_fwd(q, k, v, causal=False, interpret=True)
+        out_j, lse_j = chunk_fwd_jnp(q, k, v, causal=False)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_j), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(lse_p), np.asarray(lse_j), atol=2e-5)
+
+    def test_chunk_bwd_is_true_gradient(self):
+        """chunk_bwd with the chunk's own lse equals autodiff through
+        chunk_fwd (sanity that the flash identities are implemented right)."""
+        from trade_aid_multimodal_transformer_tpu.ops.attention import (
+            chunk_bwd_jnp,
+            chunk_fwd_jnp,
+        )
+
+        q, k, v = qkv(1, 64, 8, seed=47)
+
+        def f(q, k, v):
+            out, _ = chunk_fwd_jnp(q, k, v, True)
+            return jnp.sum(out ** 2)
+
+        gq, gk, gv = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        out, lse = chunk_fwd_jnp(q, k, v, True)
+        dq, dk, dv = chunk_bwd_jnp(q, k, v, out, lse, 2.0 * out, True)
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(dq), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(dk), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(dv), atol=2e-5)

@@ -58,3 +58,98 @@ class TestRingEquivalence:
             np.asarray(out_a[:, :-1]), np.asarray(out_b[:, :-1]), atol=1e-6
         )
         assert not np.allclose(np.asarray(out_a[:, -1]), np.asarray(out_b[:, -1]))
+
+
+class TestRingGradients:
+    """The custom-VJP ring backward (dk/dv traveling the ring with k/v) must
+    match dense-attention gradients — the reference semantics every training
+    path reproduces (reference attention: model.py:60-73)."""
+
+    @pytest.mark.parametrize("t,hs", [(64, 16), (128, 8)])
+    def test_grads_match_dense(self, mesh, t, hs):
+        q, k, v = qkv((2, t, hs), seed=t + 17)
+        ring = make_ring_attention(mesh, "data")
+
+        def loss_ring(q, k, v):
+            w = jnp.arange(t, dtype=jnp.float32)[:, None] / t  # asymmetric
+            return jnp.sum(ring(q, k, v) * w)
+
+        def loss_dense(q, k, v):
+            w = jnp.arange(t, dtype=jnp.float32)[:, None] / t
+            return jnp.sum(causal_attention_jnp(q, k, v) * w)
+
+        g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+        g_dense = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+        for gr, gd, name in zip(g_ring, g_dense, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(gr), np.asarray(gd), atol=2e-5,
+                err_msg=f"d{name} mismatch on {mesh.devices.size}-device ring",
+            )
+
+    def test_grads_multi_leading_dims(self, mesh):
+        q, k, v = qkv((2, 3, 64, 16), seed=23)
+        ring = make_ring_attention(mesh, "data")
+        g_ring = jax.grad(lambda *a: jnp.sum(jnp.tanh(ring(*a))), argnums=(0, 1, 2))(q, k, v)
+        g_dense = jax.grad(
+            lambda *a: jnp.sum(jnp.tanh(causal_attention_jnp(*a))), argnums=(0, 1, 2)
+        )(q, k, v)
+        for gr, gd in zip(g_ring, g_dense):
+            np.testing.assert_allclose(np.asarray(gr), np.asarray(gd), atol=2e-5)
+
+
+class TestRingDropout:
+    """Attention dropout under the ring: same in-chunk keep-mask semantics as
+    the flash kernels (denominator unmasked), deterministic per key, and the
+    backward regenerates the forward's masks (finite, nonzero grads)."""
+
+    def test_deterministic_and_distinct_streams(self, mesh):
+        from trade_aid_multimodal_transformer_tpu.parallel.ring_attention import (
+            ring_causal_attention_local,
+        )
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        import functools
+
+        q, k, v = qkv((2, 64, 16), seed=31)
+        key = jax.random.PRNGKey(7)
+
+        def run(key):
+            fn = shard_map(
+                functools.partial(
+                    ring_causal_attention_local, axis_name="data",
+                    impl="jnp", dropout_rate=0.3, dropout_key=key, train=True,
+                ),
+                mesh=mesh,
+                in_specs=(P(None, "data", None),) * 3,
+                out_specs=P(None, "data", None),
+                check_rep=False,
+            )
+            return fn(q, k, v)
+
+        out1 = run(key)
+        out2 = run(key)
+        out3 = run(jax.random.PRNGKey(8))
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+        assert not np.allclose(np.asarray(out1), np.asarray(out3))
+        # mean is preserved in expectation — sanity band only
+        ref = causal_attention_jnp(q, k, v)
+        assert np.isfinite(np.asarray(out1)).all()
+        assert abs(float(jnp.mean(out1) - jnp.mean(ref))) < 0.2
+
+        def loss(q, k, v):
+            fn = shard_map(
+                functools.partial(
+                    ring_causal_attention_local, axis_name="data",
+                    impl="jnp", dropout_rate=0.3, dropout_key=key, train=True,
+                ),
+                mesh=mesh,
+                in_specs=(P(None, "data", None),) * 3,
+                out_specs=P(None, "data", None),
+                check_rep=False,
+            )
+            return jnp.sum(fn(q, k, v) ** 2)
+
+        grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        for g in grads:
+            assert np.isfinite(np.asarray(g)).all()
+            assert float(jnp.max(jnp.abs(g))) > 0.0

@@ -133,3 +133,138 @@ def _on_tpu() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
+
+
+# ------------------------------------------------- chunk core (ring/CP shared)
+#
+# Ring (context-parallel) attention needs per-(query-chunk, KV-chunk)
+# primitives with explicit logsumexp so partial results merge exactly
+# (parallel/ring_attention.py). Two implementations of the SAME math:
+# the blockwise Pallas kernels (ops/pallas_attention.py flash_chunk_fwd/_bwd)
+# on TPU, and the dense jnp mirror below everywhere else. Both use identical
+# dropout semantics: keep-mask on the unnormalized exp-scores, softmax
+# denominator unmasked, regenerated deterministically in fwd and bwd
+# (hash_keep_mask keying) — no mask tensor is ever stored.
+
+
+def _chunk_mask_and_scores(q, k, causal):
+    scale = q.shape[-1] ** -0.5
+    s = jnp.einsum(
+        "...qh,...kh->...qk", q.astype(jnp.float32), k.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if causal:
+        t_q, t_k = q.shape[-2], k.shape[-2]
+        mask = jnp.tril(jnp.ones((t_q, t_k), dtype=bool))
+        s = jnp.where(mask, s, -jnp.inf)
+    return s
+
+
+def _chunk_keep_mask(shape, seed, rate):
+    """Per-leading-slice hash keep-mask matching the kernels' seeding
+    structure (seed, n, iq, jk) with chunk-level granularity (iq = jk = 0;
+    the ring caller folds the chunk pair into the seed). Every leading slice
+    gets a distinct linearized index, like the kernels' collapsed N axis."""
+    from .pallas_attention import hash_keep_mask
+
+    lead = shape[:-2]
+    n_idx = 0
+    stride = 1
+    for d in range(len(lead) - 1, -1, -1):
+        n_idx = n_idx + jax.lax.broadcasted_iota(
+            jnp.int32, lead + (1, 1), d
+        ) * stride
+        stride *= lead[d]
+    return hash_keep_mask(seed, n_idx, 0, 0, shape, rate)
+
+
+def chunk_fwd_jnp(
+    q: jax.Array, k: jax.Array, v: jax.Array, causal: bool,
+    seed: Optional[jax.Array] = None, rate: float = 0.0,
+) -> tuple:
+    """Dense chunk forward: returns (out (..., t_q, hs), lse (..., t_q))."""
+    s = _chunk_mask_and_scores(q, k, causal)
+    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), -1e30)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    lse = (m + jnp.log(l))[..., 0]
+    if rate > 0.0:
+        keep = _chunk_keep_mask(s.shape, seed, rate)
+        p = jnp.where(keep, p, 0.0)
+        l = l * (1.0 - rate)
+    out = jnp.einsum(
+        "...qk,...kh->...qh", p, v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) / l
+    return out.astype(q.dtype), lse
+
+
+def chunk_bwd_jnp(
+    q: jax.Array, k: jax.Array, v: jax.Array, out: jax.Array,
+    lse: jax.Array, g: jax.Array, causal: bool,
+    seed: Optional[jax.Array] = None, rate: float = 0.0,
+) -> tuple:
+    """Dense chunk backward given the final (post-merge) lse.
+
+    Mirrors the blockwise kernels' math: P = exp(S − lse), D = rowsum(g∘out),
+    dS = P ∘ (keep∘(g·Vᵀ)/(1−rate) − D). Returns (dq, dk, dv) in q/k/v dtypes.
+    """
+    scale = q.shape[-1] ** -0.5
+    s = _chunk_mask_and_scores(q, k, causal)
+    p = jnp.exp(s - lse[..., :, None])  # masked entries: exp(-inf) = 0
+    g32 = g.astype(jnp.float32)
+    delta = jnp.sum(g32 * out.astype(jnp.float32), axis=-1, keepdims=True)
+    dp = jnp.einsum(
+        "...qh,...kh->...qk", g32, v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    if rate > 0.0:
+        keep = _chunk_keep_mask(s.shape, seed, rate)
+        pd = jnp.where(keep, p / (1.0 - rate), 0.0)
+        dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
+    else:
+        pd = p
+    dv = jnp.einsum(
+        "...qk,...qh->...kh", pd, g32, preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta)
+    dq = jnp.einsum(
+        "...qk,...kh->...qh", ds, k.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dk = jnp.einsum(
+        "...qk,...qh->...kh", ds, q.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _chunk_use_pallas(q, k, impl: str) -> bool:
+    from .pallas_attention import MIN_FLASH_SEQ_LEN, flash_chunk_eligible
+
+    if impl == "jnp":
+        return False
+    if not flash_chunk_eligible(q, k):
+        return False
+    if impl == "pallas":
+        return True
+    return _on_tpu() and q.shape[-2] >= MIN_FLASH_SEQ_LEN
+
+
+def chunk_fwd(q, k, v, causal, seed=None, rate: float = 0.0, impl: str = "auto"):
+    """Chunk forward with implementation dispatch (pallas on TPU, else jnp)."""
+    if _chunk_use_pallas(q, k, impl):
+        from .pallas_attention import flash_chunk_fwd
+
+        return flash_chunk_fwd(q, k, v, causal, seed=seed, rate=rate)
+    return chunk_fwd_jnp(q, k, v, causal, seed=seed, rate=rate)
+
+
+def chunk_bwd(q, k, v, out, lse, g, causal, seed=None, rate: float = 0.0,
+              impl: str = "auto"):
+    """Chunk backward with implementation dispatch (pallas on TPU, else jnp)."""
+    if _chunk_use_pallas(q, k, impl):
+        from .pallas_attention import flash_chunk_bwd
+
+        return flash_chunk_bwd(q, k, v, out, lse, g, causal, seed=seed, rate=rate)
+    return chunk_bwd_jnp(q, k, v, out, lse, g, causal, seed=seed, rate=rate)

@@ -55,34 +55,19 @@ MIN_FLASH_SEQ_LEN = 256  # below this the dense core is faster (tiny matmuls)
 _NEG_INF = float("-inf")
 
 
-def _keep_mask(seed, n_idx, iq, jk, shape, rate: float, interpret: bool):
-    """Deterministic per-(program, block) dropout keep-mask.
+def hash_keep_mask(seed, n_idx, iq, jk, shape, rate: float):
+    """Pure-jnp deterministic dropout keep-mask (integer-mixing hash).
 
-    Seeded by (run seed, collapsed batch·head index, query block, key block),
-    so the forward and BOTH backward kernels regenerate bit-identical masks —
-    no T² mask tensor ever exists in HBM (the reference stores the full
-    dropout mask; torch semantics, reference: model.py:68-69).
-
-    On TPU the bits come from the core's native PRNG. Interpret mode (CPU
-    tests) cannot lower ``pltpu.prng_*``, so it uses an integer-mixing hash
-    with the same seeding structure — same semantics, different bit stream
-    (the dropout stream is implementation-defined either way).
+    Used (a) by the kernels in interpret mode, where ``pltpu.prng_*`` cannot
+    lower, and (b) by the jnp chunk core (ops/attention.py chunk_fwd/_bwd)
+    so ring/context-parallel attention regenerates bit-identical masks in its
+    forward and backward without ever storing a mask tensor. Same seeding
+    structure as the on-TPU PRNG path; different bit stream (the dropout
+    stream is implementation-defined either way).
     """
-    # NOTE: constants must stay numpy/python scalars — jnp scalars traced
-    # inside a kernel become jaxpr constvars, which pallas refuses to lower
-    # (and which silently disable interpret mode).
     threshold = np.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
-    if not interpret:
-        # Mosaic supports at most 2 seed words — mix (seed, n) and (iq, jk)
-        # injectively: odd-constant multiply is a bijection mod 2^32, and
-        # jk < 1000003 for any realistic T/BK.
-        s1 = seed ^ (n_idx * np.int32(40503))
-        s2 = iq * np.int32(1000003) + jk
-        pltpu.prng_seed(s1, s2)
-        bits = pltpu.prng_random_bits(shape)  # uint32
-        return pltpu.bitcast(bits, jnp.uint32) >= threshold  # P(keep) = 1-rate
-    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 2)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 1)
     u32 = lambda a: jnp.asarray(a).astype(jnp.uint32)  # noqa: E731
     x = (
         u32(seed) * np.uint32(2654435761)
@@ -97,14 +82,48 @@ def _keep_mask(seed, n_idx, iq, jk, shape, rate: float, interpret: bool):
     return h >= threshold
 
 
+def _keep_mask(seed, n_idx, iq, jk, shape, rate: float, interpret: bool):
+    """Deterministic per-(program, block) dropout keep-mask.
+
+    Seeded by (run seed, collapsed batch·head index, query block, key block),
+    so the forward and BOTH backward kernels regenerate bit-identical masks —
+    no T² mask tensor ever exists in HBM (the reference stores the full
+    dropout mask; torch semantics, reference: model.py:68-69).
+
+    On TPU the bits come from the core's native PRNG. Interpret mode (CPU
+    tests) uses ``hash_keep_mask`` — same seeding structure, different bit
+    stream.
+    """
+    # NOTE: constants must stay numpy/python scalars — jnp scalars traced
+    # inside a kernel become jaxpr constvars, which pallas refuses to lower
+    # (and which silently disable interpret mode).
+    threshold = np.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
+    if not interpret:
+        # Mosaic supports at most 2 seed words — mix (seed, n) and (iq, jk)
+        # injectively: odd-constant multiply is a bijection mod 2^32, and
+        # jk < 1000003 for any realistic T/BK.
+        s1 = seed ^ (n_idx * np.int32(40503))
+        s2 = iq * np.int32(1000003) + jk
+        pltpu.prng_seed(s1, s2)
+        bits = pltpu.prng_random_bits(shape)  # uint32
+        return pltpu.bitcast(bits, jnp.uint32) >= threshold  # P(keep) = 1-rate
+    return hash_keep_mask(seed, n_idx, iq, jk, shape, rate)
+
+
 # --------------------------------------------------------------------- forward
 
 
 def _flash_fwd_kernel(
     q_ref, k_ref, v_ref, seed_ref, o_ref, lse_ref,
     *, bq: int, bk: int, scale: float, rate: float, interpret: bool,
+    causal: bool = True,
 ):
-    """One (sequence-row, query-block) program of causal flash attention.
+    """One (sequence-row, query-block) program of flash attention.
+
+    ``causal=False`` attends to every key (used for the off-diagonal chunks
+    of ring/context-parallel attention, where whole-chunk causality is
+    resolved at the ring level) — the inner loop then covers all key blocks
+    and no mask is applied.
 
     With rate > 0, attention dropout runs IN-KERNEL: the keep-mask applies to
     the unnormalized exp-scores inside the accumulation while the softmax
@@ -134,10 +153,11 @@ def _flash_fwd_kernel(
             preferred_element_type=jnp.float32,
         ) * scale  # (bq, bk)
 
-        # causal mask: query position q_offset+r attends to key ≤ itself
-        rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + q_offset
-        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + jk * bk
-        s = jnp.where(rows >= cols, s, _NEG_INF)
+        if causal:
+            # causal mask: query position q_offset+r attends to key ≤ itself
+            rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + q_offset
+            cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + jk * bk
+            s = jnp.where(rows >= cols, s, _NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -157,8 +177,11 @@ def _flash_fwd_kernel(
         )
         return m_new, l, acc
 
-    # only key blocks at or before the diagonal block contribute
-    num_kv_blocks = jnp.minimum((q_offset + bq + bk - 1) // bk, t_k // bk)
+    if causal:
+        # only key blocks at or before the diagonal block contribute
+        num_kv_blocks = jnp.minimum((q_offset + bq + bk - 1) // bk, t_k // bk)
+    else:
+        num_kv_blocks = t_k // bk
     m, l, acc = jax.lax.fori_loop(0, num_kv_blocks, body, (m0, l0, acc0))
     o_ref[0] = (acc / (l * (1.0 - rate))).astype(o_ref.dtype)
     # logsumexp of each row's scores — the backward's softmax reconstruction.
@@ -170,7 +193,8 @@ def _flash_fwd_kernel(
 
 
 def _flash_forward(
-    q, k, v, seed, bq: int, bk: int, rate: float, interpret: bool
+    q, k, v, seed, bq: int, bk: int, rate: float, interpret: bool,
+    causal: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """q, k, v: (N, T, hs) — leading dims already collapsed; seed: (1,) i32.
 
@@ -179,9 +203,11 @@ def _flash_forward(
     scale = hs ** -0.5
     kernel = functools.partial(
         _flash_fwd_kernel, bq=bq, bk=bk, scale=scale, rate=rate,
-        interpret=interpret,
+        interpret=interpret, causal=causal,
     )
 
+    t_k = k.shape[1]
+    causal_div = 2 if causal else 1
     grid = (n, t // bq)
     return pl.pallas_call(
         kernel,
@@ -192,8 +218,8 @@ def _flash_forward(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, hs), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, t, hs), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, t, hs), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, t_k, hs), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, t_k, hs), lambda i, j: (i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -202,9 +228,9 @@ def _flash_forward(
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * n * t * t * hs // 2,  # qk^T + pv over the causal half
+            flops=2 * 2 * n * t * t_k * hs // causal_div,  # qk^T + pv
             bytes_accessed=4 * n * t * hs * 4,
-            transcendentals=n * t * t // 2,
+            transcendentals=n * t * t_k // causal_div,
         ),
     )(q, k, v, seed)
 
@@ -215,8 +241,10 @@ def _flash_forward(
 def _flash_bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref, dq_ref,
     *, bq: int, bk: int, scale: float, rate: float, interpret: bool,
+    causal: bool = True,
 ):
-    """dQ for one query block: stream key blocks up to the diagonal."""
+    """dQ for one query block: stream key blocks up to the diagonal
+    (all key blocks when ``causal=False``)."""
     n_idx = pl.program_id(0)
     iq = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32)            # (bq, hs)
@@ -234,11 +262,13 @@ def _flash_bwd_dq_kernel(
             q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + q_offset
-        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + jk * bk
-        mask = rows >= cols
-        # exp(-inf - lse) = 0 handles the masked entries exactly
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + q_offset
+            cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + jk * bk
+            # exp(-inf - lse) = 0 handles the masked entries exactly
+            p = jnp.where(rows >= cols, jnp.exp(s - lse), 0.0)
+        else:
+            p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
             do, v_blk, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -256,7 +286,10 @@ def _flash_bwd_dq_kernel(
             preferred_element_type=jnp.float32,
         ) * scale
 
-    num_kv_blocks = jnp.minimum((q_offset + bq + bk - 1) // bk, t_k // bk)
+    if causal:
+        num_kv_blocks = jnp.minimum((q_offset + bq + bk - 1) // bk, t_k // bk)
+    else:
+        num_kv_blocks = t_k // bk
     dq = jax.lax.fori_loop(
         0, num_kv_blocks, body, jnp.zeros((bq, hs), jnp.float32)
     )
@@ -266,8 +299,10 @@ def _flash_bwd_dq_kernel(
 def _flash_bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref, dk_ref, dv_ref,
     *, bq: int, bk: int, scale: float, rate: float, interpret: bool,
+    causal: bool = True,
 ):
-    """dK/dV for one key block: stream query blocks from the diagonal down."""
+    """dK/dV for one key block: stream query blocks from the diagonal down
+    (all query blocks when ``causal=False``)."""
     n_idx = pl.program_id(0)
     jk = pl.program_id(1)
     k_blk = k_ref[0].astype(jnp.float32)        # (bk, hs)
@@ -287,9 +322,12 @@ def _flash_bwd_dkv_kernel(
             q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # (bq, bk)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + iq * bq
-        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + k_offset
-        p = jnp.where(rows >= cols, jnp.exp(s - lse), 0.0)
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + iq * bq
+            cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + k_offset
+            p = jnp.where(rows >= cols, jnp.exp(s - lse), 0.0)
+        else:
+            p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
             do, v_blk, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -314,7 +352,7 @@ def _flash_bwd_dkv_kernel(
         return dk, dv
 
     # only query blocks at or after this key block's diagonal contribute
-    first_q_block = k_offset // bq
+    first_q_block = k_offset // bq if causal else 0
     dk, dv = jax.lax.fori_loop(
         first_q_block,
         n_q_blocks,
@@ -325,9 +363,12 @@ def _flash_bwd_dkv_kernel(
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _flash_backward(q, k, v, out, lse, g, seed, bq, bk, rate, interpret):
+def _flash_backward(q, k, v, out, lse, g, seed, bq, bk, rate, interpret,
+                    causal: bool = True):
     """lse: (n, 1, t) as produced by the forward kernel."""
     n, t, hs = q.shape
+    t_k = k.shape[1]
+    causal_div = 2 if causal else 1
     scale = hs ** -0.5
     # D = rowsum(dO ∘ O) — one elementwise pass, fused by XLA
     delta = jnp.sum(
@@ -337,14 +378,14 @@ def _flash_backward(q, k, v, out, lse, g, seed, bq, bk, rate, interpret):
     dq = pl.pallas_call(
         functools.partial(
             _flash_bwd_dq_kernel, bq=bq, bk=bk, scale=scale, rate=rate,
-            interpret=interpret,
+            interpret=interpret, causal=causal,
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=(n, t // bq),
         in_specs=[
             pl.BlockSpec((1, bq, hs), lambda i, j: (i, j, 0)),   # q
-            pl.BlockSpec((1, t, hs), lambda i, j: (i, 0, 0)),    # k
-            pl.BlockSpec((1, t, hs), lambda i, j: (i, 0, 0)),    # v
+            pl.BlockSpec((1, t_k, hs), lambda i, j: (i, 0, 0)),  # k
+            pl.BlockSpec((1, t_k, hs), lambda i, j: (i, 0, 0)),  # v
             pl.BlockSpec((1, bq, hs), lambda i, j: (i, j, 0)),   # dO
             pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0)),     # lse
             pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0)),     # delta
@@ -353,22 +394,22 @@ def _flash_backward(q, k, v, out, lse, g, seed, bq, bk, rate, interpret):
         out_specs=pl.BlockSpec((1, bq, hs), lambda i, j: (i, j, 0)),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=3 * 2 * n * t * t * hs // 2,
+            flops=3 * 2 * n * t * t_k * hs // causal_div,
             bytes_accessed=6 * n * t * hs * 4,
-            transcendentals=n * t * t // 2,
+            transcendentals=n * t * t_k // causal_div,
         ),
     )(q, k, v, g, lse, delta, seed)
 
     dk, dv = pl.pallas_call(
         functools.partial(
             _flash_bwd_dkv_kernel, bq=bq, bk=bk, scale=scale, rate=rate,
-            interpret=interpret,
+            interpret=interpret, causal=causal,
         ),
         out_shape=(
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ),
-        grid=(n, t // bk),
+        grid=(n, t_k // bk),
         in_specs=[
             pl.BlockSpec((1, t, hs), lambda i, j: (i, 0, 0)),    # q
             pl.BlockSpec((1, bk, hs), lambda i, j: (i, j, 0)),   # k
@@ -384,9 +425,9 @@ def _flash_backward(q, k, v, out, lse, g, seed, bq, bk, rate, interpret):
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * 2 * n * t * t * hs // 2,
+            flops=4 * 2 * n * t * t_k * hs // causal_div,
             bytes_accessed=6 * n * t * hs * 4,
-            transcendentals=n * t * t // 2,
+            transcendentals=n * t * t_k // causal_div,
         ),
     )(q, k, v, g, lse, delta, seed)
     return dq, dk, dv
@@ -674,3 +715,86 @@ def flash_causal_attention(
         seed = jnp.zeros((1,), jnp.int32)
     out = _flash3(q3, k3, v3, seed, bq, bk, rate, interpret)
     return out.reshape(*lead, t, hs)
+
+
+# ------------------------------------------------- chunk primitives (ring/CP)
+#
+# Ring (context-parallel) attention decomposes the full sequence into
+# per-device chunks and needs, per (query-chunk, KV-chunk) pair:
+#   fwd: (out, lse) with a causal mask (diagonal chunk) or no mask (earlier
+#        chunks) — merged at the ring level via the logsumexp identity;
+#   bwd: (dq, dk, dv) given the FINAL (post-merge) lse and delta — exact,
+#        because P = exp(S − lse_final) decomposes the softmax per chunk.
+# These wrappers expose the blockwise kernels above at chunk granularity so
+# parallel/ring_attention.py shares the same math (and the same in-kernel
+# dropout keying) as single-device flash attention.
+
+
+def flash_chunk_eligible(q: jax.Array, k: jax.Array) -> bool:
+    """Chunk kernel eligibility: block-aligned chunk lengths, lane-friendly
+    head size. (The MIN_FLASH_SEQ_LEN heuristic is the caller's concern —
+    ring chunks are usually long by construction.)"""
+    t_q, hs = q.shape[-2], q.shape[-1]
+    t_k = k.shape[-2]
+    if t_q % DEFAULT_BQ != 0 or t_k % DEFAULT_BK != 0:
+        return False
+    if hs > 256:
+        return False
+    return True
+
+
+def _collapse(x):
+    lead = x.shape[:-2]
+    n = 1
+    for d in lead:
+        n *= d
+    return x.reshape(n, *x.shape[-2:]), lead
+
+
+def flash_chunk_fwd(
+    q: jax.Array, k: jax.Array, v: jax.Array, causal: bool,
+    seed: Optional[jax.Array] = None, rate: float = 0.0,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """One chunk-vs-chunk flash forward. q: (..., t_q, hs); k, v:
+    (..., t_k, hs). Returns (out (..., t_q, hs), lse (..., t_q))."""
+    q3, lead = _collapse(q)
+    k3, _ = _collapse(k)
+    v3, _ = _collapse(v)
+    bq = min(DEFAULT_BQ, q3.shape[1])
+    bk = min(DEFAULT_BK, k3.shape[1])
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    out, lse = _flash_forward(
+        q3, k3, v3, seed, bq, bk, rate, interpret, causal=causal
+    )
+    return out.reshape(*lead, *q.shape[-2:]), lse[:, 0, :].reshape(*lead, q.shape[-2])
+
+
+def flash_chunk_bwd(
+    q: jax.Array, k: jax.Array, v: jax.Array, out: jax.Array,
+    lse: jax.Array, g: jax.Array, causal: bool,
+    seed: Optional[jax.Array] = None, rate: float = 0.0,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One chunk-vs-chunk flash backward given the final (post-merge) lse.
+
+    lse: (..., t_q) — typically the RING-MERGED logsumexp, which makes the
+    per-chunk gradients decompose exactly. Returns (dq, dk, dv)."""
+    q3, lead = _collapse(q)
+    k3, _ = _collapse(k)
+    v3, _ = _collapse(v)
+    out3, _ = _collapse(out)
+    g3, _ = _collapse(g)
+    lse3 = lse.reshape(q3.shape[0], 1, q3.shape[1])
+    bq = min(DEFAULT_BQ, q3.shape[1])
+    bk = min(DEFAULT_BK, k3.shape[1])
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    dq, dk, dv = _flash_backward(
+        q3, k3, v3, out3, lse3, g3, seed, bq, bk, rate, interpret,
+        causal=causal,
+    )
+    return (
+        dq.reshape(q.shape), dk.reshape(k.shape), dv.reshape(v.shape)
+    )
