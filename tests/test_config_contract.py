@@ -337,6 +337,7 @@ class TestTpuOptions:
                 "remat": True,
                 "rng_impl": "rbg",
                 "adam_moment_dtype": "bfloat16",
+                "context_parallel": 2,
                 "compat_legacy_rand_index": True,
                 "compat_percent_decimals_from_ranging": True,
             },
@@ -347,6 +348,7 @@ class TestTpuOptions:
         assert cfg.remat is True
         assert cfg.rng_impl == "rbg"
         assert cfg.adam_moment_dtype == "bfloat16"
+        assert cfg.context_parallel == 2
         assert cfg.compat_legacy_rand_index is True
         assert cfg.compat_percent_decimals_from_ranging is True
         rt = SystemConfig.from_dict(cfg.to_dict())

@@ -171,6 +171,7 @@ class CompatibilityMode:
                 "remat": sc.remat,
                 "rng_impl": sc.rng_impl,
                 "adam_moment_dtype": sc.adam_moment_dtype,
+                "context_parallel": sc.context_parallel,
                 "compat_legacy_rand_index": sc.compat_legacy_rand_index,
                 "compat_percent_decimals_from_ranging": sc.compat_percent_decimals_from_ranging,
             }

@@ -65,6 +65,9 @@ class SystemConfig:
     remat: bool = False              # rematerialize blocks in backward
     rng_impl: str = "auto"           # 'auto' | 'threefry2x32' | 'rbg'
     adam_moment_dtype: str = "float32"  # 'float32' | 'bfloat16' (Adam mu)
+    # Context parallelism: shard the attention sequence axis over this many
+    # devices (ring attention, parallel/ring_attention.py). 1 = off.
+    context_parallel: int = 1
     # Reference-quirk compatibility flags (SURVEY §7; default = documented
     # intent, True = reproduce the reference's as-shipped behavior):
     # Q1 — the reference reads the augmentation size from legacy-list slot
@@ -133,6 +136,16 @@ class SystemConfig:
                 "adam_moment_dtype must be 'float32' or 'bfloat16', "
                 f"got {self.adam_moment_dtype!r}"
             )
+        if not isinstance(self.context_parallel, int) or self.context_parallel < 1:
+            raise ValueError(
+                f"context_parallel must be a positive integer, "
+                f"got {self.context_parallel!r}"
+            )
+        if self.context_parallel > 1 and self.block_size % self.context_parallel != 0:
+            raise ValueError(
+                f"context_parallel ({self.context_parallel}) must divide "
+                f"block_size ({self.block_size})"
+            )
 
     @classmethod
     def from_dict(cls, config_dict: Dict[str, Any]) -> "SystemConfig":
@@ -150,6 +163,7 @@ class SystemConfig:
             remat=bool(tpu.get("remat", False)),
             rng_impl=tpu.get("rng_impl", "auto"),
             adam_moment_dtype=tpu.get("adam_moment_dtype", "float32"),
+            context_parallel=int(tpu.get("context_parallel", 1)),
             compat_legacy_rand_index=bool(tpu.get("compat_legacy_rand_index", False)),
             compat_percent_decimals_from_ranging=bool(
                 tpu.get("compat_percent_decimals_from_ranging", False)
@@ -211,6 +225,7 @@ class SystemConfig:
                 "remat": self.remat,
                 "rng_impl": self.rng_impl,
                 "adam_moment_dtype": self.adam_moment_dtype,
+                "context_parallel": self.context_parallel,
                 "compat_legacy_rand_index": self.compat_legacy_rand_index,
                 "compat_percent_decimals_from_ranging": self.compat_percent_decimals_from_ranging,
             },

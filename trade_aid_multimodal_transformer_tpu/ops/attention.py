@@ -21,12 +21,55 @@ kernel-eligible, else jnp.
 
 from __future__ import annotations
 
-from typing import Optional
+import contextlib
+import functools
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from .layers import dropout as _dropout
+
+# --------------------------------------------------- context-parallel dispatch
+#
+# When a context-parallel scope is active (opened by the trainer around its
+# traced step, config surface: tpu_options.context_parallel), the attention
+# cores below route through ring attention (parallel/ring_attention.py):
+# the sequence axis shards over the mesh's 'seq' axis and KV chunks rotate
+# via ppermute. The scope is trace-time state — entering it inside the traced
+# function guarantees every (re)trace sees it.
+
+_CP_SCOPE: Optional[tuple] = None  # (Mesh, axis_name)
+
+
+@contextlib.contextmanager
+def context_parallel_scope(mesh, axis_name: str = "seq"):
+    """Route causal/cross attention through ring attention over
+    ``mesh[axis_name]`` for the duration of the (trace-time) scope."""
+    global _CP_SCOPE
+    prev = _CP_SCOPE
+    _CP_SCOPE = (mesh, axis_name)
+    try:
+        yield
+    finally:
+        _CP_SCOPE = prev
+
+
+def _cp_active(q) -> Optional[tuple]:
+    cp = _CP_SCOPE
+    if cp is None:
+        return None
+    mesh, axis = cp
+    size = mesh.shape.get(axis, 1)
+    if size <= 1 or q.shape[-2] % size != 0:
+        return None
+    return mesh, axis, size
+
+
+def _maybe_axis(mesh, name: str, dim: int) -> Optional[str]:
+    """Mesh axis name if it exists, is >1, and divides the dim; else None."""
+    s = mesh.shape.get(name, 1)
+    return name if (s > 1 and dim % s == 0) else None
 
 
 def causal_attention_jnp(
@@ -71,6 +114,92 @@ def causal_attention_jnp(
     return out.astype(dt)
 
 
+def _cp_self_attention(q, k, v, mesh, axis, dropout_rate, dropout_key, train, impl):
+    """Ring attention over the 'seq' mesh axis for the self-attention layout
+    (q/k/v: (M, B, H, T, hs) or (B, H, T, hs)). Batch/head dims co-shard over
+    'data'/'model' when those axes exist, so CP composes with DP/TP."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.ring_attention import ring_causal_attention_local
+
+    nd = q.ndim
+    b_ax = _maybe_axis(mesh, "data", q.shape[-4]) if nd >= 4 else None
+    h_ax = _maybe_axis(mesh, "model", q.shape[-3]) if nd >= 3 else None
+    lead = (None,) * (nd - 4) + (b_ax, h_ax) if nd >= 4 else (h_ax,)
+    spec = P(*lead, axis, None)
+
+    def body(q, k, v, key):
+        if key is not None:
+            # decorrelate dropout across data/model shards (the ring already
+            # folds the seq rank per chunk pair)
+            for other in ("data", "model"):
+                if mesh.shape.get(other, 1) > 1:
+                    key = jax.random.fold_in(key, jax.lax.axis_index(other))
+        return ring_causal_attention_local(
+            q, k, v, axis_name=axis, impl=impl,
+            dropout_rate=dropout_rate, dropout_key=key, train=train,
+        )
+
+    use_drop = train and dropout_rate > 0.0
+    if use_drop:
+        fn = shard_map(
+            body, mesh=mesh, in_specs=(spec, spec, spec, P()),
+            out_specs=spec, check_rep=False,
+        )
+        return fn(q, k, v, dropout_key)
+    fn = shard_map(
+        lambda q, k, v: body(q, k, v, None), mesh=mesh,
+        in_specs=(spec, spec, spec), out_specs=spec, check_rep=False,
+    )
+    return fn(q, k, v)
+
+
+def _cp_cross_attention(q, k, v, mesh, axis, dropout_rate, dropout_key, train, impl):
+    """Ring attention per KV stream, summed over streams (the model's
+    cross-attention core) under context parallelism.
+
+    q: (B, H, T, hs); k, v: (J, B, H, T, hs)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.ring_attention import ring_causal_attention_local
+
+    b_ax = _maybe_axis(mesh, "data", q.shape[-4]) if q.ndim >= 4 else None
+    h_ax = _maybe_axis(mesh, "model", q.shape[-3]) if q.ndim >= 3 else None
+    lead = (None,) * (q.ndim - 4) + (b_ax, h_ax) if q.ndim >= 4 else (h_ax,)
+    q_spec = P(*lead, axis, None)
+    kv_spec = P(None, *lead, axis, None)
+
+    def body(q, k, v, key):
+        if key is not None:
+            for other in ("data", "model"):
+                if mesh.shape.get(other, 1) > 1:
+                    key = jax.random.fold_in(key, jax.lax.axis_index(other))
+        out = None
+        for j in range(k.shape[0]):
+            kj = jax.random.fold_in(key, j) if key is not None else None
+            o = ring_causal_attention_local(
+                q, k[j], v[j], axis_name=axis, impl=impl,
+                dropout_rate=dropout_rate, dropout_key=kj, train=train,
+            )
+            out = o if out is None else out + o
+        return out
+
+    use_drop = train and dropout_rate > 0.0
+    if use_drop:
+        fn = shard_map(
+            body, mesh=mesh, in_specs=(q_spec, kv_spec, kv_spec, P()),
+            out_specs=q_spec, check_rep=False,
+        )
+        return fn(q, k, v, dropout_key)
+    fn = shard_map(
+        lambda q, k, v: body(q, k, v, None), mesh=mesh,
+        in_specs=(q_spec, kv_spec, kv_spec), out_specs=q_spec, check_rep=False,
+    )
+    return fn(q, k, v)
+
+
 def causal_attention(
     q: jax.Array,
     k: jax.Array,
@@ -81,6 +210,12 @@ def causal_attention(
     impl: str = "auto",
 ) -> jax.Array:
     """Causal attention with implementation dispatch."""
+    cp = _cp_active(q)
+    if cp is not None and q.shape == k.shape:
+        mesh, axis, _ = cp
+        return _cp_self_attention(
+            q, k, v, mesh, axis, dropout_rate, dropout_key, train, impl
+        )
     if impl == "jnp":
         return causal_attention_jnp(q, k, v, dropout_rate, dropout_key, train)
     if impl in ("auto", "pallas"):
@@ -114,6 +249,12 @@ def cross_causal_attention(
     the stream sum into one Pallas kernel (ops/pallas_attention.py); else it
     broadcasts q against the streams in the dense core and sums.
     """
+    cp = _cp_active(q)
+    if cp is not None:
+        mesh, axis, _ = cp
+        return _cp_cross_attention(
+            q, k, v, mesh, axis, dropout_rate, dropout_key, train, impl
+        )
     if impl in ("auto", "pallas"):
         from .pallas_attention import flash_cross_attention, flash_cross_eligible
 

@@ -9,6 +9,9 @@ XLA insert the collectives over ICI.
 Axes:
 - 'data': batch-dimension data parallelism (gradient all-reduce)
 - 'model': tensor parallelism over attention heads / FFN hidden dim
+- 'seq': context parallelism — the sequence axis of attention shards across
+  devices and KV chunks rotate via ring ppermute (ring_attention.py); only
+  materialized when context_parallel > 1
 
 The modality axis stays local: modality stacks are architecturally
 independent (reference: model.py:187-190) but small (2-4), so sharding them
@@ -28,13 +31,20 @@ def make_mesh(
     data: int = 1,
     model: int = 1,
     devices: Optional[Sequence] = None,
+    seq: int = 1,
 ) -> Mesh:
-    """Build a (data, model) mesh. data*model must equal the device count."""
+    """Build a (data, model[, seq]) mesh. data*model*seq must equal the
+    device count. The 'seq' axis is only materialized when seq > 1, so
+    existing (data, model) call sites are unchanged."""
     devices = list(devices) if devices is not None else jax.devices()
-    if data * model != len(devices):
+    if data * model * seq != len(devices):
         raise ValueError(
-            f"mesh {data}x{model} needs {data*model} devices, have {len(devices)}"
+            f"mesh {data}x{model}x{seq} needs {data*model*seq} devices, "
+            f"have {len(devices)}"
         )
+    if seq > 1:
+        dev_array = np.asarray(devices).reshape(data, model, seq)
+        return Mesh(dev_array, axis_names=("data", "model", "seq"))
     dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, axis_names=("data", "model"))
 

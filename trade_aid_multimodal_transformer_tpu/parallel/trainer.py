@@ -43,15 +43,36 @@ def make_sharded_trainer(
     eval_iters: int,
     mesh: Mesh,
     model_axis: bool = True,
+    rng_impl: str = "auto",
 ) -> Trainer:
-    """Trainer whose jitted programs partition over the mesh."""
+    """Trainer whose jitted programs partition over the mesh.
+
+    If the mesh has a 'seq' axis (>1), attention additionally runs
+    context-parallel: the trainer's traced steps open
+    ``ops.attention.context_parallel_scope`` so the attention cores route
+    through ring attention over 'seq' (composing with 'data'/'model'
+    sharding). block_size must then be divisible by the 'seq' size.
+    """
     batch_sharding = NamedSharding(mesh, batch_pspec())
 
     def constrain(x):
         return jax.lax.with_sharding_constraint(x, batch_sharding)
 
+    scope = None
+    seq = mesh.shape.get("seq", 1)
+    if seq > 1:
+        if cfg.block_size % seq != 0:
+            raise ValueError(
+                f"context parallelism needs block_size ({cfg.block_size}) "
+                f"divisible by the 'seq' mesh axis ({seq})"
+            )
+        from ..ops.attention import context_parallel_scope
+
+        scope = lambda: context_parallel_scope(mesh, "seq")  # noqa: E731
+
     return Trainer(
-        cfg, feed, optimizer, metric_specs, eval_iters, batch_constraint=constrain
+        cfg, feed, optimizer, metric_specs, eval_iters,
+        batch_constraint=constrain, rng_impl=rng_impl, scope=scope,
     )
 
 

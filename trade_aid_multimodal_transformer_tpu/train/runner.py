@@ -342,9 +342,27 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
     metric_specs = build_metric_specs(
         all_vocabularies, [md.is_percent for md in modalities], block_size
     )
+
+    # tpu_options.context_parallel: shard the attention sequence axis over a
+    # 'seq' mesh axis (ring attention) — needs that many devices.
+    cp = int(sc.get("context_parallel", 1))
+    scope = None
+    if cp > 1:
+        from ..ops.attention import context_parallel_scope
+        from ..parallel.mesh import make_mesh
+
+        if len(jax.devices()) < cp:
+            raise ValueError(
+                f"tpu_options.context_parallel={cp} but only "
+                f"{len(jax.devices())} device(s) are available"
+            )
+        cp_mesh = make_mesh(1, 1, jax.devices()[:cp], seq=cp)
+        scope = lambda: context_parallel_scope(cp_mesh, "seq")  # noqa: E731
+        print(f"Parallelism: context-parallel attention over {cp} devices")
+
     trainer = Trainer(
         cfg, feed, optimizer, metric_specs, eval_iters,
-        rng_impl=sc.get("rng_impl", "auto"),
+        rng_impl=sc.get("rng_impl", "auto"), scope=scope,
     )
 
     hyperparams = {

@@ -100,6 +100,7 @@ class Trainer:
         eval_iters: int,
         batch_constraint=None,
         rng_impl: str = "auto",
+        scope=None,
     ):
         self.cfg = cfg
         self.feed = feed
@@ -110,6 +111,12 @@ class Trainer:
         # Optional sharding annotation applied to sampled batches so XLA
         # distributes the per-step compute across a mesh (parallel/).
         self.batch_constraint = batch_constraint or (lambda x: x)
+        # Optional trace-time scope (a zero-arg context-manager factory)
+        # entered INSIDE the traced functions, so every (re)trace sees it —
+        # e.g. ops.attention.context_parallel_scope for context parallelism.
+        import contextlib
+
+        self.scope = scope or contextlib.nullcontext
 
         self._train_chunk = jax.jit(
             self._train_chunk_impl, static_argnames=("n_steps",), donate_argnums=(0, 1)
@@ -134,8 +141,11 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
-        keys = jax.random.split(key, n_steps)
-        (params, opt_state), step_losses = jax.lax.scan(body, (params, opt_state), keys)
+        with self.scope():
+            keys = jax.random.split(key, n_steps)
+            (params, opt_state), step_losses = jax.lax.scan(
+                body, (params, opt_state), keys
+            )
         return params, opt_state, step_losses
 
     def train_chunk(self, params, opt_state, key, n_steps: int):
@@ -195,8 +205,11 @@ class Trainer:
             jnp.zeros((M,), jnp.int32),
             jnp.zeros((M,)),
         )
-        keys = jax.random.split(key, self.eval_iters)
-        (loss_sum, losses_sum, wins, losses_n, cert), _ = jax.lax.scan(body, init, keys)
+        with self.scope():
+            keys = jax.random.split(key, self.eval_iters)
+            (loss_sum, losses_sum, wins, losses_n, cert), _ = jax.lax.scan(
+                body, init, keys
+            )
 
         processed = jnp.asarray(
             [self.eval_iters if s.eligible else 0 for s in self.metric_specs],
