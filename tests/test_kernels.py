@@ -342,3 +342,111 @@ class TestChunkPrimitives:
         np.testing.assert_allclose(np.asarray(gq), np.asarray(dq), atol=2e-5)
         np.testing.assert_allclose(np.asarray(gk), np.asarray(dk), atol=2e-5)
         np.testing.assert_allclose(np.asarray(gv), np.asarray(dv), atol=2e-5)
+
+
+class TestStreamedKernels:
+    """KV-streamed kernel variants (third grid dimension + VMEM scratch
+    carry) must match the whole-row kernels exactly — including dropout,
+    whose (seed, n, iq, jk) keying is identical in both layouts."""
+
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_fwd_matches_row_kernel(self, causal):
+        from trade_aid_multimodal_transformer_tpu.ops import pallas_attention as pa
+
+        q, k, v = qkv(2, 512, 16, seed=51)
+        seed = jnp.zeros((1,), jnp.int32)
+        out_s, lse_s = pa._flash_forward_streamed(
+            q, k, v, seed, 128, 128, 0.0, True, causal=causal
+        )
+        out_r, lse_r = pa._flash_forward(
+            q, k, v, seed, 128, 128, 0.0, True, causal=causal
+        )
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_r), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(lse_s), np.asarray(lse_r), atol=1e-6)
+
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_bwd_matches_row_kernel(self, causal):
+        from trade_aid_multimodal_transformer_tpu.ops import pallas_attention as pa
+
+        q, k, v = qkv(2, 512, 16, seed=53)
+        seed = jnp.zeros((1,), jnp.int32)
+        out, lse = pa._flash_forward(q, k, v, seed, 128, 128, 0.0, True, causal=causal)
+        g = jax.random.normal(jax.random.PRNGKey(5), out.shape, out.dtype)
+        d_s = pa._flash_backward_streamed(
+            q, k, v, out, lse, g, seed, 128, 128, 0.0, True, causal=causal
+        )
+        d_r = pa._flash_backward(
+            q, k, v, out, lse, g, seed, 128, 128, 0.0, True, causal=causal
+        )
+        for gs, gr, name in zip(d_s, d_r, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(gs), np.asarray(gr), atol=2e-6,
+                err_msg=f"streamed d{name} mismatch (causal={causal})",
+            )
+
+    def test_dropout_masks_identical_across_layouts(self):
+        from trade_aid_multimodal_transformer_tpu.ops import pallas_attention as pa
+
+        q, k, v = qkv(1, 512, 16, seed=55)
+        seed = jnp.asarray([1234], jnp.int32)
+        out_s, _ = pa._flash_forward_streamed(q, k, v, seed, 128, 128, 0.25, True)
+        out_r, _ = pa._flash_forward(q, k, v, seed, 128, 128, 0.25, True)
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_r), atol=1e-6)
+
+    def test_auto_streaming_end_to_end_grads(self, monkeypatch):
+        """With a tiny VMEM budget the public entry point auto-selects the
+        streamed kernels; values and grads must still match the dense core."""
+        from trade_aid_multimodal_transformer_tpu.ops import pallas_attention as pa
+
+        monkeypatch.setattr(pa, "KV_ROW_VMEM_BUDGET", 1024)
+        q, k, v = qkv(1, 512, 16, seed=57)
+
+        def f_flash(q, k, v):
+            return jnp.sum(flash_causal_attention(q, k, v, interpret=True) ** 2)
+
+        def f_dense(q, k, v):
+            return jnp.sum(causal_attention_jnp(q, k, v) ** 2)
+
+        np.testing.assert_allclose(
+            float(f_flash(q, k, v)), float(f_dense(q, k, v)), rtol=1e-5
+        )
+        g_f = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+        g_d = jax.grad(f_dense, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_f, g_d):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+class TestBf16KernelIO:
+    """bf16 q/k/v pass straight through the kernels (half the HBM traffic);
+    compute still accumulates in f32. Tolerance reflects bf16's ~3 decimal
+    digits on inputs/outputs."""
+
+    def test_bf16_forward_matches_f32(self):
+        q, k, v = qkv(2, 512, 16, seed=61)
+        qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        out_b = flash_causal_attention(qb, kb, vb, interpret=True)
+        assert out_b.dtype == jnp.bfloat16
+        ref = causal_attention_jnp(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out_b, dtype=np.float32), np.asarray(ref), atol=2e-2
+        )
+
+    def test_bf16_grads_finite_and_close(self):
+        q, k, v = qkv(1, 256, 16, seed=63)
+        qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+
+        def f(q, k, v):
+            return jnp.sum(
+                flash_causal_attention(q, k, v, interpret=True).astype(jnp.float32) ** 2
+            )
+
+        g_b = jax.grad(f, argnums=(0, 1, 2))(qb, kb, vb)
+        g_f = jax.grad(
+            lambda q, k, v: jnp.sum(causal_attention_jnp(q, k, v) ** 2),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(g_b, g_f):
+            assert a.dtype == jnp.bfloat16
+            np.testing.assert_allclose(
+                np.asarray(a, dtype=np.float32), np.asarray(b), atol=5e-2
+            )

@@ -52,6 +52,13 @@ DEFAULT_BQ = 128
 DEFAULT_BK = 128
 MIN_FLASH_SEQ_LEN = 256  # below this the dense core is faster (tiny matmuls)
 
+# Above this many bytes for one K+V sequence row, the kernels switch from
+# whole-row-in-VMEM (optimal HBM traffic: K/V read once per collapsed batch
+# row) to KV-block streaming over a third grid dimension (traffic O(T²·hs/BQ)
+# but O(block) VMEM — lifts the T≲16k row ceiling). ~16 MB VMEM/core; leave
+# room for q/o blocks, scratch, and pipeline double-buffering.
+KV_ROW_VMEM_BUDGET = 4 * 1024 * 1024
+
 _NEG_INF = float("-inf")
 
 
@@ -230,6 +237,141 @@ def _flash_forward(
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * n * t * t_k * hs // causal_div,  # qk^T + pv
             bytes_accessed=4 * n * t * hs * 4,
+            transcendentals=n * t * t_k // causal_div,
+        ),
+    )(q, k, v, seed)
+
+
+# --------------------------------------------------- forward, KV-streamed
+#
+# Same math as _flash_fwd_kernel, but the key/value blocks arrive through a
+# third grid dimension instead of a whole-row VMEM block: pallas's pipeline
+# double-buffers the (1, bk, hs) fetches, (m, l) carry in VMEM scratch, and
+# the output block (revisited across jk) accumulates in place with the
+# online-softmax rescaling. Causality: the K/V index maps CLAMP jk to the
+# diagonal block (a repeated index fetches nothing new), and pl.when skips
+# the compute — upper-triangle blocks cost neither bandwidth nor FLOPs.
+# Dropout keying (seed, n, iq, jk) is identical to the row kernels, so both
+# paths produce the same masks.
+
+
+def _flash_fwd_kernel_streamed(
+    q_ref, k_ref, v_ref, seed_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+    *, bq: int, bk: int, n_k: int, scale: float, rate: float,
+    interpret: bool, causal: bool,
+):
+    n_idx = pl.program_id(0)
+    iq = pl.program_id(1)
+    jk = pl.program_id(2)
+    q_offset = iq * bq
+
+    @pl.when(jk == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    if causal:
+        last_valid = jnp.minimum((q_offset + bq - 1) // bk, n_k - 1)
+        run = jk <= last_valid
+    else:
+        last_valid = n_k - 1
+        run = jk <= last_valid  # always true; keeps one code path
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0].astype(jnp.float32)
+        k_blk = k_ref[0].astype(jnp.float32)
+        v_blk = v_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + q_offset
+            cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + jk * bk
+            s = jnp.where(rows >= cols, s, _NEG_INF)
+        m = m_scr[:, :1]
+        l = l_scr[:, :1]
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        if rate > 0.0:
+            keep = _keep_mask(seed_ref[0], n_idx, iq, jk, (bq, bk), rate, interpret)
+            p_acc = jnp.where(keep, p, 0.0)
+        else:
+            p_acc = p
+        acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
+            p_acc, v_blk, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:, :1] = m_new
+        l_scr[:, :1] = l_new
+
+    @pl.when(jk == last_valid)
+    def _():
+        m = m_scr[:, :1]
+        l = l_scr[:, :1]
+        o_ref[0] = (acc_scr[:] / (l * (1.0 - rate))).astype(o_ref.dtype)
+        lse_ref[0, 0, pl.ds(q_offset, bq)] = (m + jnp.log(l))[:, 0]
+
+
+def _kv_clamped_index(bq: int, bk: int, n_k: int, causal: bool):
+    """Index map for streamed K/V blocks: clamp to the diagonal so skipped
+    upper-triangle programs re-reference the previous block (no DMA)."""
+    if not causal:
+        return lambda i, iq, jk: (i, jk, 0)
+
+    def index(i, iq, jk):
+        last_valid = jnp.minimum((iq * bq + bq - 1) // bk, n_k - 1)
+        return (i, jnp.minimum(jk, last_valid), 0)
+
+    return index
+
+
+def _flash_forward_streamed(
+    q, k, v, seed, bq: int, bk: int, rate: float, interpret: bool,
+    causal: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """KV-streamed forward: O(block) VMEM, any T."""
+    n, t, hs = q.shape
+    t_k = k.shape[1]
+    n_k = t_k // bk
+    scale = hs ** -0.5
+    causal_div = 2 if causal else 1
+    kernel = functools.partial(
+        _flash_fwd_kernel_streamed, bq=bq, bk=bk, n_k=n_k, scale=scale,
+        rate=rate, interpret=interpret, causal=causal,
+    )
+    kv_index = _kv_clamped_index(bq, bk, n_k, causal)
+    grid = (n, t // bq, n_k)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((n, 1, t), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, hs), lambda i, iq, jk: (i, iq, 0)),
+            pl.BlockSpec((1, bk, hs), kv_index),
+            pl.BlockSpec((1, bk, hs), kv_index),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, hs), lambda i, iq, jk: (i, iq, 0)),
+            pl.BlockSpec((1, 1, t), lambda i, iq, jk: (i, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),  # running max (col 0 used)
+            pltpu.VMEM((bq, 128), jnp.float32),  # running sum (col 0 used)
+            pltpu.VMEM((bq, hs), jnp.float32),   # f32 output accumulator
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n * t * t_k * hs // causal_div,
+            bytes_accessed=n * t * hs * 4 * 2 + n * t * t_k * hs * 4 // (bq * causal_div),
             transcendentals=n * t * t_k // causal_div,
         ),
     )(q, k, v, seed)
@@ -433,20 +575,257 @@ def _flash_backward(q, k, v, out, lse, g, seed, bq, bk, rate, interpret,
     return dq, dk, dv
 
 
+# --------------------------------------------------- backward, KV-streamed
+
+
+def _flash_bwd_dq_kernel_streamed(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref, dq_ref, dq_scr,
+    *, bq: int, bk: int, n_k: int, scale: float, rate: float,
+    interpret: bool, causal: bool,
+):
+    """dQ with key/value blocks streamed through the third grid dimension."""
+    n_idx = pl.program_id(0)
+    iq = pl.program_id(1)
+    jk = pl.program_id(2)
+    q_offset = iq * bq
+
+    @pl.when(jk == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    if causal:
+        last_valid = jnp.minimum((q_offset + bq - 1) // bk, n_k - 1)
+    else:
+        last_valid = n_k - 1
+
+    @pl.when(jk <= last_valid)
+    def _():
+        q = q_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        k_blk = k_ref[0].astype(jnp.float32)
+        v_blk = v_ref[0].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(q_offset, bq)][:, None]
+        delta = delta_ref[0, 0, pl.ds(q_offset, bq)][:, None]
+        s = jax.lax.dot_general(
+            q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + q_offset
+            cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + jk * bk
+            p = jnp.where(rows >= cols, jnp.exp(s - lse), 0.0)
+        else:
+            p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if rate > 0.0:
+            keep = _keep_mask(seed_ref[0], n_idx, iq, jk, (bq, bk), rate, interpret)
+            dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
+        ds = p * (dp - delta)
+        dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+            ds, k_blk, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    @pl.when(jk == last_valid)
+    def _():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel_streamed(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref, dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, bq: int, bk: int, n_q: int, scale: float, rate: float,
+    interpret: bool, causal: bool,
+):
+    """dK/dV for one key block with query/dO blocks streamed through the
+    third grid dimension."""
+    n_idx = pl.program_id(0)
+    jk = pl.program_id(1)
+    iq = pl.program_id(2)
+    k_offset = jk * bk
+
+    @pl.when(iq == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    first_valid = (k_offset // bq) if causal else 0
+
+    @pl.when(iq >= first_valid)
+    def _():
+        k_blk = k_ref[0].astype(jnp.float32)
+        v_blk = v_ref[0].astype(jnp.float32)
+        q = q_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(iq * bq, bq)][:, None]
+        delta = delta_ref[0, 0, pl.ds(iq * bq, bq)][:, None]
+        s = jax.lax.dot_general(
+            q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + iq * bq
+            cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + k_offset
+            p = jnp.where(rows >= cols, jnp.exp(s - lse), 0.0)
+        else:
+            p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if rate > 0.0:
+            keep = _keep_mask(seed_ref[0], n_idx, iq, jk, (bq, bk), rate, interpret)
+            pd = jnp.where(keep, p / (1.0 - rate), 0.0)
+            dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
+        else:
+            pd = p
+        dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+            pd, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    @pl.when(iq == n_q - 1)
+    def _():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _q_clamped_index(bq: int, bk: int, causal: bool):
+    """Index map for streamed Q/dO blocks in the dK/dV kernel: clamp iq up
+    to the key block's diagonal so skipped programs fetch nothing new."""
+    if not causal:
+        return lambda i, jk, iq: (i, iq, 0)
+
+    def index(i, jk, iq):
+        return (i, jnp.maximum(iq, (jk * bk) // bq), 0)
+
+    return index
+
+
+def _flash_backward_streamed(q, k, v, out, lse, g, seed, bq, bk, rate,
+                             interpret, causal: bool = True):
+    """KV/Q-streamed backward: O(block) VMEM, any T."""
+    n, t, hs = q.shape
+    t_k = k.shape[1]
+    n_k = t_k // bk
+    n_q = t // bq
+    causal_div = 2 if causal else 1
+    scale = hs ** -0.5
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )[:, None, :]
+    kv_index = _kv_clamped_index(bq, bk, n_k, causal)
+    q_index = _q_clamped_index(bq, bk, causal)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel_streamed, bq=bq, bk=bk, n_k=n_k, scale=scale,
+            rate=rate, interpret=interpret, causal=causal,
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(n, n_q, n_k),
+        in_specs=[
+            pl.BlockSpec((1, bq, hs), lambda i, iq, jk: (i, iq, 0)),   # q
+            pl.BlockSpec((1, bk, hs), kv_index),                       # k
+            pl.BlockSpec((1, bk, hs), kv_index),                       # v
+            pl.BlockSpec((1, bq, hs), lambda i, iq, jk: (i, iq, 0)),   # dO
+            pl.BlockSpec((1, 1, t), lambda i, iq, jk: (i, 0, 0)),      # lse
+            pl.BlockSpec((1, 1, t), lambda i, iq, jk: (i, 0, 0)),      # delta
+            pl.BlockSpec(memory_space=pltpu.SMEM),                     # seed
+        ],
+        out_specs=pl.BlockSpec((1, bq, hs), lambda i, iq, jk: (i, iq, 0)),
+        scratch_shapes=[pltpu.VMEM((bq, hs), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * n * t * t_k * hs // causal_div,
+            bytes_accessed=4 * n * t * hs * 4 + n * t * t_k * hs * 4 // (bq * causal_div),
+            transcendentals=n * t * t_k // causal_div,
+        ),
+    )(q, k, v, g, lse, delta, seed)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel_streamed, bq=bq, bk=bk, n_q=n_q, scale=scale,
+            rate=rate, interpret=interpret, causal=causal,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        grid=(n, n_k, n_q),
+        in_specs=[
+            pl.BlockSpec((1, bq, hs), q_index),                        # q
+            pl.BlockSpec((1, bk, hs), lambda i, jk, iq: (i, jk, 0)),   # k
+            pl.BlockSpec((1, bk, hs), lambda i, jk, iq: (i, jk, 0)),   # v
+            pl.BlockSpec((1, bq, hs), q_index),                        # dO
+            pl.BlockSpec((1, 1, t), lambda i, jk, iq: (i, 0, 0)),      # lse
+            pl.BlockSpec((1, 1, t), lambda i, jk, iq: (i, 0, 0)),      # delta
+            pl.BlockSpec(memory_space=pltpu.SMEM),                     # seed
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bk, hs), lambda i, jk, iq: (i, jk, 0)),
+            pl.BlockSpec((1, bk, hs), lambda i, jk, iq: (i, jk, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bk, hs), jnp.float32),
+            pltpu.VMEM((bk, hs), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * n * t * t_k * hs // causal_div,
+            bytes_accessed=4 * n * t * hs * 4 + n * t * t_k * hs * 4 // (bk * causal_div),
+            transcendentals=n * t * t_k // causal_div,
+        ),
+    )(q, k, v, g, lse, delta, seed)
+    return dq, dk, dv
+
+
+def _use_streaming(t_k: int, hs: int, itemsize: int) -> bool:
+    """Whole K+V row bytes exceed the VMEM budget → stream blocks."""
+    return 2 * t_k * hs * itemsize > KV_ROW_VMEM_BUDGET
+
+
+def _fwd_dispatch(q, k, v, seed, bq, bk, rate, interpret, causal=True):
+    if _use_streaming(k.shape[1], k.shape[2], k.dtype.itemsize):
+        return _flash_forward_streamed(
+            q, k, v, seed, bq, bk, rate, interpret, causal=causal
+        )
+    return _flash_forward(q, k, v, seed, bq, bk, rate, interpret, causal=causal)
+
+
+def _bwd_dispatch(q, k, v, out, lse, g, seed, bq, bk, rate, interpret,
+                  causal=True):
+    if _use_streaming(k.shape[1], k.shape[2], k.dtype.itemsize):
+        return _flash_backward_streamed(
+            q, k, v, out, lse, g, seed, bq, bk, rate, interpret, causal=causal
+        )
+    return _flash_backward(
+        q, k, v, out, lse, g, seed, bq, bk, rate, interpret, causal=causal
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _flash3(q, k, v, seed, bq, bk, rate, interpret):
-    out, _ = _flash_forward(q, k, v, seed, bq, bk, rate, interpret)
+    out, _ = _fwd_dispatch(q, k, v, seed, bq, bk, rate, interpret)
     return out
 
 
 def _flash3_fwd(q, k, v, seed, bq, bk, rate, interpret):
-    out, lse = _flash_forward(q, k, v, seed, bq, bk, rate, interpret)
+    out, lse = _fwd_dispatch(q, k, v, seed, bq, bk, rate, interpret)
     return out, (q, k, v, out, lse, seed)
 
 
 def _flash3_bwd(bq, bk, rate, interpret, res, g):
     q, k, v, out, lse, seed = res
-    dq, dk, dv = _flash_backward(
+    dq, dk, dv = _bwd_dispatch(
         q, k, v, out, lse, g, seed, bq, bk, rate, interpret
     )
     return dq, dk, dv, None
@@ -587,8 +966,8 @@ def _flash_cross_bwd(bq, bk, rate, interpret, res, g):
     dks, dvs = [], []
     for j in range(k.shape[0]):
         seed_j = seed + (j + 1) * _STREAM_SEED_STRIDE
-        out_j, lse_j = _flash_forward(q, k[j], v[j], seed_j, bq, bk, rate, interpret)
-        dq_j, dk_j, dv_j = _flash_backward(
+        out_j, lse_j = _fwd_dispatch(q, k[j], v[j], seed_j, bq, bk, rate, interpret)
+        dq_j, dk_j, dv_j = _bwd_dispatch(
             q, k[j], v[j], out_j, lse_j, g, seed_j, bq, bk, rate, interpret
         )
         dq = dq + dq_j
@@ -765,7 +1144,7 @@ def flash_chunk_fwd(
     bk = min(DEFAULT_BK, k3.shape[1])
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
-    out, lse = _flash_forward(
+    out, lse = _fwd_dispatch(
         q3, k3, v3, seed, bq, bk, rate, interpret, causal=causal
     )
     return out.reshape(*lead, *q.shape[-2:]), lse[:, 0, :].reshape(*lead, q.shape[-2])
@@ -791,7 +1170,7 @@ def flash_chunk_bwd(
     bk = min(DEFAULT_BK, k3.shape[1])
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
-    dq, dk, dv = _flash_backward(
+    dq, dk, dv = _bwd_dispatch(
         q3, k3, v3, out3, lse3, g3, seed, bq, bk, rate, interpret,
         causal=causal,
     )
