@@ -36,6 +36,20 @@ enable_persistent_cache()
 RESULTS = []
 
 
+def dsync(x):
+    """Force TRUE device completion before reading the clock.
+
+    Under the tunneled TPU runtime `jax.block_until_ready` can return before
+    the device has drained its queue (measured: impossible TF/s with it as
+    the only barrier). A device→host copy of one element cannot return early
+    — the chip executes in order, so transferring a slice of the LAST output
+    proves every queued computation before it has finished.
+    """
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
+    return x
+
+
 def record(name, value, unit, baseline=None):
     vs = round(value / baseline, 2) if baseline else None
     RESULTS.append(
@@ -99,13 +113,13 @@ def bench_feed():
     )
     key = jax.random.PRNGKey(0)
     out = feed.get_batch(key, "train", True)
-    jax.block_until_ready(out)
+    dsync(out)
 
     iters = 200
     t0 = time.perf_counter()
     for i in range(iters):
         out = feed.get_batch(jax.random.fold_in(key, i), "train", True)
-    jax.block_until_ready(out)
+    dsync(out)
     per_step = (time.perf_counter() - t0) / iters
     # reference: ~1.41 s/step/modality => 5.64 s/step for 4 modalities
     record(
@@ -161,10 +175,10 @@ def bench_train():
     trainer, params, opt_state = _make_trainer(cfg, 100, 4)
     chunk = 512
     params, opt_state, l = trainer.train_chunk(params, opt_state, jax.random.PRNGKey(0), chunk)
-    jax.block_until_ready(l)
+    dsync(l)
     t0 = time.perf_counter()
     params, opt_state, l = trainer.train_chunk(params, opt_state, jax.random.PRNGKey(1), chunk)
-    jax.block_until_ready(l)
+    dsync(l)
     t = time.perf_counter() - t0
     record("train steps/s (demo config)", chunk / t, "steps/s", 32.6)
 
@@ -178,10 +192,10 @@ def bench_train():
     )
     chunk = 50
     params, opt_state, l = trainer.train_chunk(params, opt_state, jax.random.PRNGKey(0), chunk)
-    jax.block_until_ready(l)
+    dsync(l)
     t0 = time.perf_counter()
     params, opt_state, l = trainer.train_chunk(params, opt_state, jax.random.PRNGKey(1), chunk)
-    jax.block_until_ready(l)
+    dsync(l)
     t = time.perf_counter() - t0
     sps = chunk / t
     record("train steps/s (production 4-mod config)", sps, "steps/s", None)
@@ -203,19 +217,19 @@ def bench_train():
         cfg_bf, 1_000_000, 32, rand_sizes=[2, 2, None, None]
     )
     params_bf, opt_bf, l = trainer_bf.train_chunk(params_bf, opt_bf, jax.random.PRNGKey(0), chunk)
-    jax.block_until_ready(l)
+    dsync(l)
     t0 = time.perf_counter()
     params_bf, opt_bf, l = trainer_bf.train_chunk(params_bf, opt_bf, jax.random.PRNGKey(1), chunk)
-    jax.block_until_ready(l)
+    dsync(l)
     t = time.perf_counter() - t0
     record("train steps/s (production, bf16)", chunk / t, "steps/s", None)
 
     # eval pass (fused, with on-device directional metrics)
     stats = trainer.eval_pass(params, jax.random.PRNGKey(2), "val")
-    jax.block_until_ready(stats.mean_loss)
+    dsync(stats.mean_loss)
     t0 = time.perf_counter()
     stats = trainer.eval_pass(params, jax.random.PRNGKey(3), "val")
-    jax.block_until_ready(stats.mean_loss)
+    dsync(stats.mean_loss)
     t = time.perf_counter() - t0
     record("eval pass, 40 iters (production)", t * 1e3, "ms", None)
 
@@ -243,10 +257,10 @@ def bench_generation():
     )
 
     out = generate_fast(params, cfg, idx, jax.random.PRNGKey(1), new, 0)
-    jax.block_until_ready(out)
+    dsync(out)
     t0 = time.perf_counter()
     out = generate_fast(params, cfg, idx, jax.random.PRNGKey(2), new, 0)
-    jax.block_until_ready(out)
+    dsync(out)
     t_fast = time.perf_counter() - t0
     record("generation (fused scan)", B * new / t_fast, "tokens/s", None)
 
@@ -254,12 +268,57 @@ def bench_generation():
     # extrapolated — running 128 would dominate the suite's wall clock
     few = 16
     outs = generate(params, cfg, list(idx), jax.random.PRNGKey(3), few, 0)
-    jax.block_until_ready(outs[0])
+    dsync(outs[0])
     t0 = time.perf_counter()
     outs = generate(params, cfg, list(idx), jax.random.PRNGKey(4), few, 0)
-    jax.block_until_ready(outs[0])
+    dsync(outs[0])
     t_slow = (time.perf_counter() - t0) * (new / few)
     record("generation speedup vs per-token dispatch", t_slow / t_fast, "x", None)
+
+
+def bench_serving():
+    """KV-cached decode at serving-scale context (T=1024 window).
+
+    The fused scan recomputes the full 1024-token window per token; the
+    cached path (models/cache.py) runs one single-position forward per token
+    against per-block K/V caches, with a periodic prefill refresh once the
+    window is full."""
+    import jax.numpy as jnp
+
+    from trade_aid_multimodal_transformer_tpu.models.cache import generate_serve
+    from trade_aid_multimodal_transformer_tpu.models.config import ModelConfig
+    from trade_aid_multimodal_transformer_tpu.models.init import init_params
+    from trade_aid_multimodal_transformer_tpu.models.sampler import generate_fast
+
+    print("\n== KV-cached serving (T=1024 context, B=8, 256 new tokens) ==")
+    cfg = ModelConfig(
+        vocab_sizes=(500, 120), cross_attention=(True, False),
+        n_embd=384, n_head=6, n_layer=6, block_size=1024, dropout=0.0,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B, new = 8, 256
+    idx = jnp.asarray(
+        np.stack([rng.integers(0, v, (B, cfg.block_size)) for v in cfg.vocab_sizes])
+        .astype(np.int32)
+    )
+
+    out = generate_fast(params, cfg, idx, jax.random.PRNGKey(1), new, 0)
+    dsync(out)
+    t0 = time.perf_counter()
+    out = generate_fast(params, cfg, idx, jax.random.PRNGKey(2), new, 0)
+    dsync(out)
+    t_scan = time.perf_counter() - t0
+    record("serving T=1024 (fused full-window scan)", B * new / t_scan, "tokens/s", None)
+
+    out = generate_serve(params, cfg, idx, jax.random.PRNGKey(1), new, 0, refresh=128)
+    dsync(out)
+    t0 = time.perf_counter()
+    out = generate_serve(params, cfg, idx, jax.random.PRNGKey(2), new, 0, refresh=128)
+    dsync(out)
+    t_kv = time.perf_counter() - t0
+    record("serving T=1024 (KV-cached, refresh=128)", B * new / t_kv, "tokens/s", None)
+    record("KV-cache speedup vs fused scan", t_scan / t_kv, "x", None)
 
 
 def bench_kernels():
@@ -284,11 +343,11 @@ def bench_kernels():
 
     def tb(fn, n=10):
         out = fn(q, k, v)
-        jax.block_until_ready(out)
+        dsync(out)
         t0 = time.perf_counter()
         for _ in range(n):
             out = fn(q, k, v)
-        jax.block_until_ready(out)
+        dsync(out)
         return (time.perf_counter() - t0) / n
 
     td = tb(jax.jit(lambda q, k, v: causal_attention_jnp(q, k, v)))
@@ -301,6 +360,65 @@ def bench_kernels():
     record("flash attention fwd+bwd (T=4096)", gf * 1e3, "ms", None)
     record("flash fwd+bwd speedup vs dense", gd / gf, "x", None)
 
+    # bf16 kernel I/O: halves K/V HBM traffic; accumulation stays f32
+    from trade_aid_multimodal_transformer_tpu.ops import pallas_attention as pa
+
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+
+    def tb16(fn, n=10):
+        out = fn(qb, kb, vb)
+        dsync(out)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(qb, kb, vb)
+        dsync(out)
+        return (time.perf_counter() - t0) / n
+
+    tf16 = tb16(jax.jit(lambda q, k, v: flash_causal_attention(q, k, v)))
+    record("flash fwd bf16 (T=4096)", tf16 * 1e3, "ms", None)
+    record("flash fwd bf16 speedup vs f32 kernel", tf / tf16, "x", None)
+    gf16 = tb16(
+        jax.jit(jax.grad(
+            lambda q, k, v: (flash_causal_attention(q, k, v).astype(jnp.float32) ** 2).sum(),
+            argnums=(0, 1, 2),
+        )), n=5,
+    )
+    record("flash fwd+bwd bf16 (T=4096)", gf16 * 1e3, "ms", None)
+    record("flash fwd+bwd bf16 speedup vs f32 kernel", gf / gf16, "x", None)
+
+    # KV-streamed kernels (the any-T path; selected automatically above the
+    # VMEM row budget — forced here to measure the row-vs-streamed cost)
+    budget = pa.KV_ROW_VMEM_BUDGET
+    try:
+        pa.KV_ROW_VMEM_BUDGET = 1024
+        ts = tb(jax.jit(lambda q, k, v: flash_causal_attention(q, k, v)))
+        record("flash fwd KV-streamed f32 (T=4096)", ts * 1e3, "ms", None)
+        record("KV-streamed cost vs row-resident", ts / tf, "x", None)
+        gs = tb(jax.jit(jax.grad(lambda q, k, v: (flash_causal_attention(q, k, v) ** 2).sum(), argnums=(0, 1, 2))), n=5)
+        record("flash fwd+bwd KV-streamed f32 (T=4096)", gs * 1e3, "ms", None)
+    finally:
+        pa.KV_ROW_VMEM_BUDGET = budget
+
+    # T=32768: above the f32 row VMEM ceiling — only the streamed path runs
+    # (whole-row K/V would need 2*32768*64*4 = 16 MB of VMEM per program)
+    T32 = 32768
+    ks2 = jax.random.split(jax.random.PRNGKey(1), 3)
+    q2, k2, v2 = (jax.random.normal(kk, (4, T32, 64), jnp.bfloat16) for kk in ks2)
+
+    def tb32(fn, n=3):
+        out = fn(q2, k2, v2)
+        dsync(out)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(q2, k2, v2)
+        dsync(out)
+        return (time.perf_counter() - t0) / n
+
+    t32 = tb32(jax.jit(lambda q, k, v: flash_causal_attention(q, k, v)))
+    flops32 = 2 * 2 * 4 * T32 * T32 * 64 / 2  # qk^T + pv, causal half
+    record("flash fwd bf16 (T=32768, streamed)", t32 * 1e3, "ms", None)
+    record("T=32768 achieved TFLOP/s", flops32 / t32 / 1e12, "TF/s", None)
+
 
 def main():
     parser = argparse.ArgumentParser()
@@ -312,6 +430,7 @@ def main():
     bench_feed()
     bench_train()
     bench_generation()
+    bench_serving()
     bench_kernels()
 
     if args.json:
