@@ -199,3 +199,76 @@ class TestFastGenerate:
             np.asarray(out[1][:, -3:]),
             np.broadcast_to(np.asarray(idx[1][:, -1:]), (2, 3)),
         )
+
+
+class TestCachedGenerate:
+    """KV-cached decode (models/cache.py) must be token-identical to the
+    faithful path: exact while the context grows toward block_size (positions
+    pinned, pure append), and via the full-window fallback past that."""
+
+    @pytest.fixture(scope="class")
+    def big_cfg(self):
+        # block_size large enough for a real cached phase, small enough that
+        # the generate_fast oracle's warmup (one compile per context length
+        # below block_size) stays cheap on CPU
+        return ModelConfig(
+            vocab_sizes=(19, 7), cross_attention=(True, False),
+            n_embd=16, n_head=2, n_layer=2, block_size=16, dropout=0.1,
+            attn_impl="jnp",
+        )
+
+    @pytest.fixture(scope="class")
+    def big_params(self, big_cfg):
+        return init_params(jax.random.PRNGKey(0), big_cfg)
+
+    def _stacked(self, cfg, key, B, T):
+        ks = jax.random.split(key, cfg.num_modalities)
+        return jnp.stack(
+            [
+                jax.random.randint(ks[m], (B, T), 0, cfg.vocab_sizes[m])
+                for m in range(cfg.num_modalities)
+            ]
+        )
+
+    @pytest.mark.parametrize("t0,new", [(5, 11), (5, 20), (16, 4)])
+    def test_matches_fast_generate(self, big_cfg, big_params, t0, new):
+        """Covers: pure cached phase, boundary-exact fill, crossing into the
+        full-window fallback, and prompt already at block_size (no cached
+        phase at all)."""
+        from trade_aid_multimodal_transformer_tpu.models.cache import generate_cached
+        from trade_aid_multimodal_transformer_tpu.models.sampler import generate_fast
+
+        idx = self._stacked(big_cfg, jax.random.PRNGKey(42), B=2, T=t0)
+        key = jax.random.PRNGKey(7)
+        fast = generate_fast(big_params, big_cfg, idx, key, new, 0)
+        cached = generate_cached(big_params, big_cfg, idx, key, new, 0)
+        assert cached.shape == (big_cfg.num_modalities, 2, t0 + new)
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(cached))
+
+    def test_prefill_logits_match_forward(self, big_cfg, big_params):
+        """The cached forward's last-position logits == the plain forward's."""
+        from trade_aid_multimodal_transformer_tpu.models.cache import _prefill
+
+        idx = self._stacked(big_cfg, jax.random.PRNGKey(3), B=2, T=12)
+        logits, _ = _prefill(big_params, big_cfg, idx, 0)
+        ref, _ = forward(big_params, big_cfg, idx, train=False)
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(ref[0][:, -1, :]), atol=1e-5
+        )
+
+    def test_serve_exact_prefix_and_shape(self, big_cfg, big_params):
+        """generate_serve: exact while the window grows (token-identical
+        prefix), then chunked refresh keeps producing valid tokens."""
+        from trade_aid_multimodal_transformer_tpu.models.cache import generate_serve
+        from trade_aid_multimodal_transformer_tpu.models.sampler import generate_fast
+
+        idx = self._stacked(big_cfg, jax.random.PRNGKey(9), B=2, T=4)
+        key = jax.random.PRNGKey(11)
+        out = generate_serve(big_params, big_cfg, idx, key, 24, 0, refresh=4)
+        assert out.shape == (big_cfg.num_modalities, 2, 28)
+        exact = generate_fast(big_params, big_cfg, idx, key, 12, 0)
+        np.testing.assert_array_equal(
+            np.asarray(out[:, :, :16]), np.asarray(exact)
+        )
+        v = big_cfg.vocab_sizes[0]
+        assert (np.asarray(out[0]) >= 0).all() and (np.asarray(out[0]) < v).all()

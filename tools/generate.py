@@ -39,6 +39,12 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--checkpoint", default=None,
                     help="override the config's model_file_name")
+    ap.add_argument("--serve", action="store_true",
+                    help="KV-cached serving sampler (models/cache.py): "
+                         "token-exact while the context grows, chunked-"
+                         "refresh approximation past a full window")
+    ap.add_argument("--refresh", type=int, default=None,
+                    help="--serve refresh period (default block_size // 8)")
     args = ap.parse_args()
 
     # resolve an explicit --checkpoint against the SHELL's cwd before chdir
@@ -127,10 +133,19 @@ def main() -> int:
     idx = jnp.asarray(
         np.stack([x[-T0:] for x in ids_list])[:, None, :]  # (M, B=1, T0)
     )
-    out = generate_fast(
-        params, cfg, idx, jax.random.PRNGKey(args.seed),
-        max_new_tokens=args.tokens, modality_to_generate=args.modality,
-    )
+    if args.serve:
+        from trade_aid_multimodal_transformer_tpu.models.cache import generate_serve
+
+        out = generate_serve(
+            params, cfg, idx, jax.random.PRNGKey(args.seed),
+            max_new_tokens=args.tokens, modality_to_generate=args.modality,
+            refresh=args.refresh,
+        )
+    else:
+        out = generate_fast(
+            params, cfg, idx, jax.random.PRNGKey(args.seed),
+            max_new_tokens=args.tokens, modality_to_generate=args.modality,
+        )
     new = np.asarray(out[:, 0, T0:])  # (M, tokens)
 
     target = names[args.modality]

@@ -1,0 +1,360 @@
+"""KV-cached incremental decoding for serving-scale generation.
+
+The faithful ``generate`` (reference: model.py:404-446) and the fused-scan
+``generate_fast`` both recompute the FULL context window for every new token
+— O(T) forward work per token. This module adds a decode path that caches
+per-block attention keys/values so each new token costs one single-position
+forward: O(1) matmul work against O(T) cached bandwidth, the standard
+serving structure.
+
+Exactness boundary (important): the model uses ABSOLUTE learned positions
+over a window cropped to ``block_size`` (reference: model.py:285-319 crops,
+then embeds positions 0..T-1 of the crop). While the context is still
+GROWING toward ``block_size`` the window start is pinned at 0, tokens only
+append, and cached decoding is numerically IDENTICAL to the faithful path
+(pinned by tests/test_model.py::TestCachedGenerate). Once the window is
+full, the faithful path slides it — every token's position index changes
+each step, which invalidates all cached K/V (they were computed from
+position-dependent embeddings). Two policies are offered past that point:
+
+- ``generate_cached`` (exact): falls back to the fused full-window scan for
+  the remaining tokens — always token-identical to ``generate``.
+- ``generate_serve`` (serving): chunked refresh. Every ``refresh`` tokens it
+  recomputes the cache from the last ``block_size - refresh`` tokens at
+  positions ``0..block_size-refresh-1`` and decodes the next ``refresh``
+  tokens incrementally — amortizing one prefill over ``refresh`` cached
+  steps. During a chunk the model sees a slightly shorter history than the
+  faithful slide (the oldest ``refresh - t`` tokens are absent at intra-
+  chunk step ``t``); this is the documented standard sliding-window-serving
+  approximation, NOT bit-faithful, and is opt-in only.
+
+Cache layout per block (S = block_size):
+  sa_k / sa_v: (M, B, H, S, hs) self-attention keys/values
+  cross[i]["k"/"v"]: (J, B, H, S, hs) cross K/V for querying modality i over
+  its J KV modalities — cross K/V derive from the OTHER modalities' post-
+  SA/FF activations (reference: model.py:229-242), which are produced fresh
+  for the new position during the same cached step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.layers import KeyGen, layernorm
+from .config import ModelConfig
+from .sampler import _scan_steps
+from .transformer import _mm, _proj_mlp, _qkv_project, feed_forward, logits_heads
+
+
+def init_cache(cfg: ModelConfig, batch: int, params: Dict[str, Any]) -> List[Dict]:
+    """Zero-filled cache pytree matching ``params['blocks']`` structure."""
+    M, H, S, hs = cfg.num_modalities, cfg.n_head, cfg.block_size, cfg.head_size
+    dt = cfg.activation_dtype if hasattr(cfg, "activation_dtype") else (
+        jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    )
+    caches = []
+    for block in params["blocks"]:
+        bc: Dict[str, Any] = {
+            "sa_k": jnp.zeros((M, batch, H, S, hs), dt),
+            "sa_v": jnp.zeros((M, batch, H, S, hs), dt),
+            "cross": {},
+        }
+        if block["cross"]:
+            for i_str in block["cross"]:
+                kv_idx = cfg.kv_modalities(int(i_str))
+                if not kv_idx:
+                    continue
+                J = len(kv_idx)
+                bc["cross"][i_str] = {
+                    "k": jnp.zeros((J, batch, H, S, hs), dt),
+                    "v": jnp.zeros((J, batch, H, S, hs), dt),
+                }
+        caches.append(bc)
+    return caches
+
+
+def _attn_cached(q, kc, vc, start, t_new: int):
+    """Masked attention of ``t_new`` new queries against a (..., S, hs) cache.
+
+    Rows sit at absolute positions start..start+t_new-1; cache column j is
+    visible iff j <= row position. Unwritten cache slots are masked out, so
+    their zero contents never contribute (exp(-inf) == 0 exactly). Numerics
+    mirror ops.attention.causal_attention_jnp: f32 scores/softmax, weighted
+    sum accumulated in f32, result in the activation dtype.
+    """
+    dt = q.dtype
+    acc = jnp.float32
+    scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("...qh,...kh->...qk", q, kc, preferred_element_type=acc) * scale
+    rows = start + jnp.arange(t_new, dtype=jnp.int32)
+    cols = jnp.arange(kc.shape[-2], dtype=jnp.int32)
+    mask = cols[None, :] <= rows[:, None]
+    s = jnp.where(mask, s.astype(acc), -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum(
+        "...qk,...kh->...qh", p.astype(dt), vc, preferred_element_type=acc
+    )
+    return out.astype(dt)
+
+
+def _sa_cached(x_norm, sa, cfg: ModelConfig, kc, vc, start):
+    """Self-attention with cache append. x_norm: (M, B, t, C)."""
+    M, B, t, _ = x_norm.shape
+    H, hs = cfg.n_head, cfg.head_size
+    hs2 = hs // 2
+    k_new = _qkv_project(x_norm, sa["w1_k"], sa["b1_k"], sa["w2_k"], H, hs2)
+    q = _qkv_project(x_norm, sa["w1_q"], sa["b1_q"], sa["w2_q"], H, hs2)
+    v_new = _qkv_project(x_norm, sa["w1_v"], sa["b1_v"], sa["w2_v"], H, hs2)
+    kc = jax.lax.dynamic_update_slice_in_dim(kc, k_new.astype(kc.dtype), start, axis=3)
+    vc = jax.lax.dynamic_update_slice_in_dim(vc, v_new.astype(vc.dtype), start, axis=3)
+    att = _attn_cached(q, kc, vc, start, t)  # (M, B, H, t, hs)
+    out = att.transpose(0, 1, 3, 2, 4).reshape(M, B, t, H * hs)
+    out = _proj_mlp(out, sa["proj_w1"], sa["proj_b1"], sa["proj_w2"], sa["proj_b2"])
+    return out, kc, vc
+
+
+def _cross_cached(y, kv_x_new, cp, cfg: ModelConfig, kc, vc, start):
+    """Cross-attention with cache append.
+
+    y: (B, t, C) LN_cross output of the querying modality;
+    kv_x_new: (J, B, t, C) the new position's post-SA/FF activations of the
+    KV modalities. Per-stream softmax then SUM over streams, matching
+    ops.attention.cross_causal_attention (reference: model.py:158).
+    """
+    B, t, _ = y.shape
+    hs = cp["q_w"].shape[-1]
+    q = _mm("btc,hce->bhte", y, cp["q_w"])  # (B, H, t, hs)
+    k_new = _mm("jbtc,jhcf->jbhtf", kv_x_new, cp["kv_w"][..., :hs])
+    v_new = _mm("jbtc,jhcf->jbhtf", kv_x_new, cp["kv_w"][..., hs:])
+    kc = jax.lax.dynamic_update_slice_in_dim(kc, k_new.astype(kc.dtype), start, axis=3)
+    vc = jax.lax.dynamic_update_slice_in_dim(vc, v_new.astype(vc.dtype), start, axis=3)
+    att = _attn_cached(q[None], kc, vc, start, t).sum(axis=0)  # (B, H, t, hs)
+    out = att.transpose(0, 2, 1, 3).reshape(B, t, -1)
+    out = _proj_mlp(out, cp["proj_w1"], cp["proj_b1"], cp["proj_w2"], cp["proj_b2"])
+    return out, kc, vc
+
+
+def block_forward_cached(x, block, cache, start, cfg: ModelConfig):
+    """One MultimodalBlock over new positions only, reading/writing the cache.
+
+    Same update order as block_forward (reference: model.py:214-244):
+    x += SA(LN1(x)); x += FF(LN2(x)); cross reads the frozen post-SA/FF x.
+    Inference only (train=False — dropout layers are identity).
+    """
+    keys = KeyGen(None)
+    sa_out, kc, vc = _sa_cached(
+        layernorm(x, block["ln1"]["scale"], block["ln1"]["bias"]),
+        block["sa"], cfg, cache["sa_k"], cache["sa_v"], start,
+    )
+    x = x + sa_out
+    x = x + feed_forward(
+        layernorm(x, block["ln2"]["scale"], block["ln2"]["bias"]),
+        block["ffwd"], cfg, keys, False,
+    )
+    new_cache: Dict[str, Any] = {"sa_k": kc, "sa_v": vc, "cross": {}}
+    if block["cross"]:
+        updates = {}
+        for i_str, cp in block["cross"].items():
+            i = int(i_str)
+            kv_idx = cfg.kv_modalities(i)
+            if not kv_idx:
+                continue
+            kv_x = x[jnp.array(kv_idx)] if len(kv_idx) > 1 else x[kv_idx[0]][None]
+            y = layernorm(x[i], cp["ln_scale"], cp["ln_bias"])
+            cc = cache["cross"][i_str]
+            out, ck, cv = _cross_cached(y, kv_x, cp, cfg, cc["k"], cc["v"], start)
+            updates[i] = x[i] + out
+            new_cache["cross"][i_str] = {"k": ck, "v": cv}
+        if updates:
+            x = jnp.stack(
+                [updates.get(i, x[i]) for i in range(cfg.num_modalities)]
+            )
+    return x, new_cache
+
+
+def embed_at(params: Dict[str, Any], cfg: ModelConfig, idx, start):
+    """Token + positional embedding for positions start..start+t-1.
+
+    idx: (M, B, t) int32; start may be traced (dynamic slice into pos_emb).
+    """
+    t = idx.shape[-1]
+    pos = jax.lax.dynamic_slice_in_dim(params["pre"]["pos_emb"], start, t, axis=0)
+    xs = [
+        params["pre"]["tok_emb"][m][idx[m]] + pos
+        for m in range(cfg.num_modalities)
+    ]
+    x = jnp.stack(xs)
+    if cfg.compute_dtype == "bfloat16":
+        x = x.astype(jnp.bfloat16)
+    return x
+
+
+def forward_cached(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    idx,
+    cache: List[Dict],
+    start,
+    head_modality: Optional[int] = None,
+) -> Tuple[Any, List[Dict]]:
+    """Forward over new positions only. idx: (M, B, t).
+
+    Returns (logits, new_cache): logits is the last-position logits of
+    ``head_modality`` (B, V) when given, else the full per-modality list of
+    (B, t, V) logits.
+    """
+    x = embed_at(params, cfg, idx, start)
+    new_caches = []
+    for block, bc in zip(params["blocks"], cache):
+        x, nb = block_forward_cached(x, block, bc, start, cfg)
+        new_caches.append(nb)
+    if head_modality is None:
+        return logits_heads(params, cfg, x), new_caches
+    post = params["post"]
+    m = head_modality
+    h = layernorm(x[m][:, -1:, :], post["ln_scale"][m], post["ln_bias"][m])
+    head = post["heads"][m]
+    logits = _proj_mlp(h, head["w1"], head["b1"], head["w2"], head["b2"])[:, 0, :]
+    if logits.dtype == jnp.bfloat16:
+        logits = logits.astype(jnp.float32)
+    return logits, new_caches
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "modality_to_generate"))
+def _prefill(params, cfg: ModelConfig, idx, modality_to_generate: int):
+    """Populate the cache from the prompt; return last-position logits."""
+    cache = init_cache(cfg, idx.shape[1], params)
+    logits, cache = forward_cached(
+        params, cfg, idx, cache, 0, head_modality=modality_to_generate
+    )
+    return logits, cache
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "modality_to_generate", "n_steps")
+)
+def _decode_steps(
+    params, cfg: ModelConfig, cache, start, logits0, last_col, key,
+    modality_to_generate: int, n_steps: int,
+):
+    """n_steps cached decode steps fused into one scan.
+
+    Carry: (cache, position, last logits (B, V), last column (M, B), key).
+    Step t: sample token position start+t from the carried logits (identical
+    key schedule to generate/_single_step: split, then categorical on the
+    subkey), build the new column (other modalities repeat their last
+    token), run ONE cached forward at that position for the next logits.
+    Emits the sampled columns (n_steps, M, B).
+    """
+
+    def body(carry, _):
+        cache, pos, logits, col_prev, key = carry
+        key, sub = jax.random.split(key)
+        nxt = jax.random.categorical(sub, logits, axis=-1).astype(col_prev.dtype)
+        col = col_prev.at[modality_to_generate].set(nxt)  # (M, B)
+        logits, cache = forward_cached(
+            params, cfg, col[:, :, None], cache, pos,
+            head_modality=modality_to_generate,
+        )
+        return (cache, pos + 1, logits, col, key), col
+
+    (cache, start, logits, _, key), cols = jax.lax.scan(
+        body, (cache, start, logits0, last_col, key), None, length=n_steps
+    )
+    return cols, cache, logits, key
+
+
+def generate_cached(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    idx: jax.Array,
+    key: jax.Array,
+    max_new_tokens: int = 1,
+    modality_to_generate: int = 0,
+) -> jax.Array:
+    """Token-exact generation with KV-cached decode while the window grows.
+
+    idx: (M, B, T0) stacked equal-length token ids. Returns
+    (M, B, T0 + max_new_tokens), token-identical to ``generate`` /
+    ``generate_fast`` for the same key. Tokens generated while the context
+    is shorter than ``block_size`` cost one single-position forward each;
+    any remainder past the full window falls back to the faithful fused
+    full-window scan (see module docstring for why).
+    """
+    seq = jnp.asarray(idx)
+    if seq.ndim != 3:
+        raise ValueError("idx must be (num_modalities, B, T) stacked ids")
+    t0 = seq.shape[-1]
+    S = cfg.block_size
+    n_cached = max(0, min(max_new_tokens, S - t0))
+    if n_cached > 0:
+        logits0, cache = _prefill(params, cfg, seq, modality_to_generate)
+        cols, _, _, key = _decode_steps(
+            params, cfg, cache, t0, logits0, seq[:, :, -1], key,
+            modality_to_generate, n_cached,
+        )
+        seq = jnp.concatenate([seq, jnp.moveaxis(cols, 0, -1)], axis=-1)
+        # one key split was consumed per sampled token, exactly like the
+        # faithful loop; _decode_steps already advanced `key` accordingly
+    remaining = max_new_tokens - n_cached
+    if remaining > 0:
+        window = seq[:, :, -S:]
+        if window.shape[-1] < S:  # prompt shorter than S and tokens exhausted
+            return seq
+        _, cols = _scan_steps(
+            params, cfg, window, key, modality_to_generate, remaining
+        )
+        seq = jnp.concatenate([seq, jnp.moveaxis(cols, 0, -1)], axis=-1)
+    return seq
+
+
+def generate_serve(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    idx: jax.Array,
+    key: jax.Array,
+    max_new_tokens: int,
+    modality_to_generate: int = 0,
+    refresh: Optional[int] = None,
+) -> jax.Array:
+    """Serving-mode generation: cached decode everywhere, chunked refresh
+    once the window is full (NOT bit-faithful past that point — see module
+    docstring). ``refresh`` defaults to block_size // 8 (min 1).
+    """
+    seq = jnp.asarray(idx)
+    if seq.ndim != 3:
+        raise ValueError("idx must be (num_modalities, B, T) stacked ids")
+    S = cfg.block_size
+    refresh = max(1, refresh if refresh is not None else S // 8)
+    if refresh >= S:
+        raise ValueError("refresh must be < block_size")
+
+    # exact phase while the window grows
+    t0 = seq.shape[-1]
+    n_exact = max(0, min(max_new_tokens, S - t0))
+    produced = 0
+    if n_exact > 0:
+        logits0, cache = _prefill(params, cfg, seq, modality_to_generate)
+        cols, _, _, key = _decode_steps(
+            params, cfg, cache, t0, logits0, seq[:, :, -1], key,
+            modality_to_generate, n_exact,
+        )
+        seq = jnp.concatenate([seq, jnp.moveaxis(cols, 0, -1)], axis=-1)
+        produced = n_exact
+
+    # chunked-refresh phase: prefill last S-refresh tokens, decode `refresh`
+    while produced < max_new_tokens:
+        n = min(refresh, max_new_tokens - produced)
+        window = seq[:, :, -(S - refresh):]
+        logits0, cache = _prefill(params, cfg, window, modality_to_generate)
+        cols, _, _, key = _decode_steps(
+            params, cfg, cache, S - refresh, logits0, seq[:, :, -1], key,
+            modality_to_generate, n,
+        )
+        seq = jnp.concatenate([seq, jnp.moveaxis(cols, 0, -1)], axis=-1)
+        produced += n
+    return seq
