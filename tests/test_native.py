@@ -108,3 +108,63 @@ class TestBinAssign:
         out = native.bin_assign(data, pos_b)
         # [low, high) positive; [-high, -low) negative (signed half-open)
         assert out.tolist() == [2, 2, -1, -2, 0, 1, -1, 2, -2]
+
+
+class TestFactorize:
+    """tat_factorize must be semantically np.unique(return_inverse) for
+    finite doubles — it backs data.vocab.numerical_representation."""
+
+    def test_parity_with_np_unique(self):
+        rng = np.random.default_rng(7)
+        for data in [
+            rng.uniform(10, 500, 50_000).round(1),
+            rng.integers(0, 50, 5_000).astype(np.float64),
+            np.array([3.0, -0.0, 0.0, 3.0, -7.5, 2.25, -7.5]),
+            np.array([1.5]),
+            rng.normal(0, 1, 10_000),  # all-unique regime (forces rehash)
+        ]:
+            out = native.factorize(data)
+            if out is None:
+                pytest.skip("native unavailable")
+            codes, uniq = out
+            ref_u, ref_inv = np.unique(data, return_inverse=True)
+            np.testing.assert_array_equal(uniq, ref_u)
+            np.testing.assert_array_equal(codes, ref_inv.astype(np.int32))
+
+    def test_negative_zero_collapses(self):
+        out = native.factorize(np.array([-0.0, 0.0, -0.0]))
+        if out is None:
+            pytest.skip("native unavailable")
+        codes, uniq = out
+        assert uniq.tolist() == [0.0]
+        assert codes.tolist() == [0, 0, 0]
+
+    def test_numerical_representation_routes_native(self, monkeypatch):
+        """The vocab builder's native path and numpy fallback must agree."""
+        from trade_aid_multimodal_transformer_tpu.data.vocab import (
+            numerical_representation,
+        )
+
+        rng = np.random.default_rng(11)
+        data = rng.uniform(10, 60, 20_000).round(1).tolist()
+        ids_n, vocab_n = numerical_representation(data)
+        monkeypatch.setenv("TAT_DISABLE_NATIVE", "1")
+        monkeypatch.setattr(native, "_tried", False)
+        monkeypatch.setattr(native, "_lib", None)
+        try:
+            ids_f, vocab_f = numerical_representation(data)
+        finally:
+            monkeypatch.delenv("TAT_DISABLE_NATIVE")
+            monkeypatch.setattr(native, "_tried", False)
+        np.testing.assert_array_equal(ids_n, ids_f)
+        assert vocab_n == vocab_f
+
+    def test_nan_falls_back_to_numpy(self):
+        from trade_aid_multimodal_transformer_tpu.data.vocab import (
+            numerical_representation,
+        )
+
+        data = [1.0, float("nan"), 2.0, 1.0]
+        ids, vocab = numerical_representation(data)
+        ref_u, ref_inv = np.unique(np.asarray(data), return_inverse=True)
+        np.testing.assert_array_equal(ids, ref_inv.astype(np.int32))

@@ -91,6 +91,9 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.tat_range_numeric.restype = None
     lib.tat_bin_assign.argtypes = [dp, ctypes.c_int64, dp, ctypes.c_int, i64p]
     lib.tat_bin_assign.restype = None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.tat_factorize.argtypes = [dp, ctypes.c_int64, i32p, dp]
+    lib.tat_factorize.restype = ctypes.c_int64
     return lib
 
 
@@ -147,6 +150,26 @@ def range_numeric(
         cu.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out, cl.astype(bool), cu.astype(bool)
+
+
+def factorize(values: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Hash-based vocabulary build + tokenize for finite float64 data.
+
+    Returns (int32 sorted-rank codes, sorted unique values) — semantically
+    np.unique(values, return_inverse=True) — or None when native is
+    unavailable. Callers must route NaN-containing inputs elsewhere.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    arr = np.ascontiguousarray(values, dtype=np.float64)
+    codes = np.empty(arr.size, dtype=np.int32)
+    uniq = np.empty(arr.size, dtype=np.float64)
+    u = lib.tat_factorize(
+        _dptr(arr), arr.size,
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), _dptr(uniq),
+    )
+    return codes, uniq[:u].copy()
 
 
 def bin_assign(

@@ -150,3 +150,103 @@ void tat_bin_assign(
 }
 
 }  // extern "C"
+
+// ------------------------------------------------------------- factorize
+//
+// Vocabulary build + tokenize (reference: data_utils.py:212-225 —
+// sorted(set(data)) then per-element dict lookups). numpy's
+// unique(return_inverse) pays an O(n log n) argsort over ALL rows; real
+// vocabularies here are tiny (tens to hundreds of uniques per million
+// rows), so an open-addressing hash (O(n) expected) + a sort of just the
+// uniques wins. Semantics match np.unique for finite doubles: -0.0
+// canonicalizes to +0.0 (they compare equal), codes are ranks in the
+// sorted unique array. Callers must route NaN-containing inputs to the
+// numpy path (NaN identity semantics differ).
+
+#include <vector>
+#include <algorithm>
+
+// splitmix64 finalizer: masking with (cap-1) keeps only LOW hash bits, and
+// the low bits of a bare multiply depend only on the low key bits — which
+// cluster badly for decimal-rounded doubles (measured 20x slowdown from
+// probe chains). A full avalanche mixer decorrelates every output bit.
+static inline uint64_t mix64(uint64_t x) {
+    x ^= x >> 30; x *= 0xBF58476D1CE4E5B9ull;
+    x ^= x >> 27; x *= 0x94D049BB133111EBull;
+    x ^= x >> 31;
+    return x;
+}
+
+extern "C" {
+
+// in: n doubles (no NaN). codes: n int32 sorted-rank ids. uniq: capacity-n
+// buffer receiving the sorted unique values. Returns the unique count.
+int64_t tat_factorize(const double* in, int64_t n, int32_t* codes,
+                      double* uniq) {
+    if (n <= 0) return 0;
+    // open addressing, power-of-two capacity, bit-pattern keys
+    int64_t cap = 1024;
+    std::vector<uint64_t> keys(cap, 0);
+    std::vector<int32_t> vals(cap, -1);
+    std::vector<double> firsts;         // first-seen order
+    firsts.reserve(1024);
+    const uint64_t EMPTY = 0;           // key 0 == +0.0 handled via sentinel id
+    int32_t zero_id = -1;
+
+    auto rehash = [&]() {
+        int64_t ncap = cap * 2;
+        std::vector<uint64_t> nk(ncap, 0);
+        std::vector<int32_t> nv(ncap, -1);
+        for (int64_t i = 0; i < cap; ++i) {
+            if (vals[i] < 0) continue;
+            uint64_t kk = keys[i];
+            uint64_t h = mix64(kk);
+            int64_t j = (int64_t)(h & (uint64_t)(ncap - 1));
+            while (nv[j] >= 0) j = (j + 1) & (ncap - 1);
+            nk[j] = kk; nv[j] = vals[i];
+        }
+        keys.swap(nk); vals.swap(nv); cap = ncap;
+    };
+
+    for (int64_t i = 0; i < n; ++i) {
+        double v = in[i];
+        if (v == 0.0) v = 0.0;          // canonicalize -0.0
+        uint64_t kk;
+        std::memcpy(&kk, &v, 8);
+        if (kk == EMPTY) {              // +0.0
+            if (zero_id < 0) { zero_id = (int32_t)firsts.size(); firsts.push_back(0.0); }
+            codes[i] = zero_id;
+            continue;
+        }
+        uint64_t h = mix64(kk);
+        int64_t j = (int64_t)(h & (uint64_t)(cap - 1));
+        while (true) {
+            if (vals[j] < 0) {
+                int32_t id = (int32_t)firsts.size();
+                keys[j] = kk; vals[j] = id;
+                firsts.push_back(v);
+                codes[i] = id;
+                if ((int64_t)firsts.size() * 10 > cap * 7) rehash();
+                break;
+            }
+            if (keys[j] == kk) { codes[i] = vals[j]; break; }
+            j = (j + 1) & (cap - 1);
+        }
+    }
+
+    // rank the first-seen uniques by value, remap codes to sorted ranks
+    int64_t u = (int64_t)firsts.size();
+    std::vector<int32_t> order(u);
+    for (int64_t i = 0; i < u; ++i) order[i] = (int32_t)i;
+    std::sort(order.begin(), order.end(),
+              [&](int32_t a, int32_t b) { return firsts[a] < firsts[b]; });
+    std::vector<int32_t> rank(u);
+    for (int64_t r = 0; r < u; ++r) {
+        rank[order[r]] = (int32_t)r;
+        uniq[r] = firsts[order[r]];
+    }
+    for (int64_t i = 0; i < n; ++i) codes[i] = rank[codes[i]];
+    return u;
+}
+
+}  // extern "C"
