@@ -242,3 +242,62 @@ class TestParamPspecs:
         assert specs["post"]["heads"][1]["w1"] == P()
         # head 0: 37//2=18 divides 2 → still sharded
         assert any(ax == "model" for ax in specs["post"]["heads"][0]["w1"])
+
+
+class TestModalityParallel:
+    """Modality parallelism ('mod' mesh axis): the per-modality stacks are
+    architecturally independent (reference: model.py:187-190), so the
+    leading M axis of stacked params and batches shards like an expert
+    axis. Must reproduce the unsharded trajectory exactly (cross-attention
+    exchange becomes XLA-inserted gathers)."""
+
+    def test_train_chunk_matches_unsharded(self, devices):
+        cfg = _cfg()  # M = 2 modalities
+        feed = _feed(cfg)
+        optimizer = make_optimizer(1e-3)
+        specs = _specs(cfg)
+        mesh = make_mesh(4, 1, devices, mod=2)  # mod=2 x data=4
+
+        base = Trainer(cfg, feed, optimizer, specs, eval_iters=2)
+        p0 = init_params(jax.random.PRNGKey(0), cfg)
+        o0 = optimizer.init(p0)
+        p_ref, o_ref, losses_ref = base.train_chunk(
+            p0, o0, jax.random.PRNGKey(1), 3
+        )
+
+        sharded = make_sharded_trainer(
+            cfg, feed, optimizer, specs, 2, mesh, model_axis=False
+        )
+        p1 = init_params(jax.random.PRNGKey(0), cfg)
+        p1, o1 = shard_train_state(
+            p1, optimizer, mesh, cfg.n_head, model_axis=False
+        )
+        p_sh, o_sh, losses_sh = sharded.train_chunk(
+            p1, o1, jax.random.PRNGKey(1), 3
+        )
+        np.testing.assert_allclose(
+            np.asarray(losses_ref), np.asarray(losses_sh), rtol=1e-5, atol=1e-6
+        )
+        for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sh)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+            )
+
+    def test_stacked_params_physically_sharded(self, devices):
+        """Stacked sa/ffwd leaves must actually split their M dim over
+        'mod' (addressable shards on distinct devices)."""
+        from trade_aid_multimodal_transformer_tpu.parallel import shard_params
+
+        cfg = _cfg()
+        mesh = make_mesh(4, 1, devices, mod=2)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        sp = shard_params(params, mesh, cfg.n_head, model_axis=False)
+        w1 = sp["blocks"][0]["ffwd"]["w1"]  # (M, C, 4C)
+        shard_shapes = {s.data.shape for s in w1.addressable_shards}
+        assert shard_shapes == {(1,) + w1.shape[1:]}
+        # per-modality leaves (vocab heads) keep their placement (replicated
+        # on the mod axis)
+        h_w2 = sp["post"]["heads"][0]["w2"]
+        assert all(
+            s.data.shape == h_w2.shape for s in h_w2.addressable_shards
+        )

@@ -1,5 +1,5 @@
-"""Parallelism subsystem: device mesh, sharding rules, DP/TP training,
-ring (context-parallel) attention."""
+"""Parallelism subsystem: device mesh, sharding rules, DP/TP/modality
+training, GPipe pipeline parallelism, ring (context-parallel) attention."""
 
 from .mesh import (
     batch_pspec,
@@ -7,6 +7,12 @@ from .mesh import (
     make_mesh,
     param_pspecs,
     shard_params,
+)
+from .pipeline import (
+    pipeline_apply,
+    pipeline_total_loss,
+    stack_blocks,
+    unstack_blocks,
 )
 from .ring_attention import make_ring_attention, ring_causal_attention_local
 from .trainer import (
@@ -21,6 +27,10 @@ __all__ = [
     "make_mesh",
     "param_pspecs",
     "shard_params",
+    "pipeline_apply",
+    "pipeline_total_loss",
+    "stack_blocks",
+    "unstack_blocks",
     "make_ring_attention",
     "ring_causal_attention_local",
     "make_shard_map_dp_step",

@@ -12,10 +12,13 @@ Axes:
 - 'seq': context parallelism — the sequence axis of attention shards across
   devices and KV chunks rotate via ring ppermute (ring_attention.py); only
   materialized when context_parallel > 1
-
-The modality axis stays local: modality stacks are architecturally
-independent (reference: model.py:187-190) but small (2-4), so sharding them
-would idle devices; the batch and hidden dims scale instead.
+- 'mod': modality parallelism — the per-modality transformer stacks are
+  architecturally independent (reference: model.py:187-190), so the leading
+  M axis of every stacked parameter (sa/ffwd/ln) and of the (M, B, T) batch
+  shards like an expert axis; only cross-attention and the final stack
+  exchange activations (XLA inserts the gathers). Small fan-out (M = 2-4),
+  so it composes with 'data' rather than replacing it; only materialized
+  when requested.
 """
 
 from __future__ import annotations
@@ -32,21 +35,28 @@ def make_mesh(
     model: int = 1,
     devices: Optional[Sequence] = None,
     seq: int = 1,
+    mod: int = 1,
 ) -> Mesh:
-    """Build a (data, model[, seq]) mesh. data*model*seq must equal the
-    device count. The 'seq' axis is only materialized when seq > 1, so
-    existing (data, model) call sites are unchanged."""
+    """Build a ([mod, ]data, model[, seq]) mesh. The product must equal the
+    device count. The 'seq' and 'mod' axes are only materialized when > 1,
+    so existing (data, model) call sites are unchanged."""
     devices = list(devices) if devices is not None else jax.devices()
-    if data * model * seq != len(devices):
+    if data * model * seq * mod != len(devices):
         raise ValueError(
-            f"mesh {data}x{model}x{seq} needs {data*model*seq} devices, "
-            f"have {len(devices)}"
+            f"mesh mod={mod} x {data}x{model}x{seq} needs "
+            f"{data*model*seq*mod} devices, have {len(devices)}"
         )
+    shape, names = [], []
+    if mod > 1:
+        shape.append(mod)
+        names.append("mod")
+    shape += [data, model]
+    names += ["data", "model"]
     if seq > 1:
-        dev_array = np.asarray(devices).reshape(data, model, seq)
-        return Mesh(dev_array, axis_names=("data", "model", "seq"))
-    dev_array = np.asarray(devices).reshape(data, model)
-    return Mesh(dev_array, axis_names=("data", "model"))
+        shape.append(seq)
+        names.append("seq")
+    dev_array = np.asarray(devices).reshape(*shape)
+    return Mesh(dev_array, axis_names=tuple(names))
 
 
 def default_mesh_shape(n_devices: int, n_head: int) -> Tuple[int, int]:
@@ -57,9 +67,10 @@ def default_mesh_shape(n_devices: int, n_head: int) -> Tuple[int, int]:
     return n_devices, 1
 
 
-def batch_pspec() -> P:
-    """Sharding for (M, B, T) batches: batch axis over 'data'."""
-    return P(None, "data", None)
+def batch_pspec(mod_axis: bool = False) -> P:
+    """Sharding for (M, B, T) batches: batch over 'data', modality over
+    'mod' when modality parallelism is on."""
+    return P("mod" if mod_axis else None, "data", None)
 
 
 def param_pspecs(
@@ -67,6 +78,8 @@ def param_pspecs(
     n_head: int,
     model_axis: bool = True,
     model_size: int = 1,
+    mod_axis: bool = False,
+    mod_size: int = 1,
 ) -> Dict[str, Any]:
     """PartitionSpec tree for the model parameter pytree.
 
@@ -93,6 +106,12 @@ def param_pspecs(
     that leaf (device_put needs even shards; tiny demo vocabs hit this).
     Unknown leaf names under sa/ffwd/heads raise — a renamed parameter must
     update this table, never silently fall to replicated.
+
+    With ``mod_axis``, every M-stacked leaf (sa/ffwd/ln1/ln2 inside blocks,
+    the post LN stacks) additionally shards its leading modality dim over
+    'mod' — modality parallelism, composable with the 'model' column/row
+    placements above. Per-modality leaves (tok_emb[i], heads[i], cross
+    params) have no M dim and keep their table placement.
     """
     mdl = "model" if model_axis else None
 
@@ -105,40 +124,59 @@ def param_pspecs(
         spec[axis] = mdl
         return P(*spec)
 
+    def with_mod(spec: P, leaf) -> P:
+        """Shard the leading (modality-stacked) dim over 'mod' on top of the
+        base placement."""
+        if not mod_axis or leaf.shape[0] % max(mod_size, 1) != 0:
+            return spec
+        dims = list(spec) + [None] * (leaf.ndim - len(spec))
+        dims[0] = "mod"
+        return P(*dims)
+
     def spec_for(path: Tuple[str, ...], leaf) -> P:
         names = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
         names = [str(n) for n in names]
         joined = "/".join(names)
         last = names[-1]
-        if "/sa/" in f"/{joined}/":
-            if last.startswith("w1_") or last.startswith("b1_"):
-                return sharded(leaf, leaf.ndim - 1)   # head-major columns
-            if last.startswith("w2_"):
-                return sharded(leaf, 1)               # head axis
-            if last == "proj_w1":
-                return sharded(leaf, 1)               # row-parallel over heads
-            if last in ("proj_w2", "proj_b1", "proj_b2"):
-                return P()
-            raise ValueError(f"unknown self-attention parameter: {joined}")
-        if "/ffwd/" in f"/{joined}/":
-            if last in ("w1", "b1"):
-                return sharded(leaf, leaf.ndim - 1)   # column-parallel
-            if last == "w2":
-                return sharded(leaf, 1)               # row-parallel
-            if last == "b2":
-                return P()
-            raise ValueError(f"unknown feed-forward parameter: {joined}")
-        if "/heads/" in f"/{joined}/":
-            if last in ("w1", "b1"):
-                return sharded(leaf, leaf.ndim - 1)   # column-parallel V//2
-            if last == "w2":
-                return sharded(leaf, 0)               # row-parallel V//2
-            if last == "b2":
-                return P()
-            raise ValueError(f"unknown vocab-head parameter: {joined}")
-        if "/tok_emb/" in f"/{joined}/":
-            return sharded(leaf, 0)                   # vocab rows
-        return P()
+        stacked = (
+            any(f"/{fam}/" in f"/{joined}/" for fam in ("sa", "ffwd", "ln1", "ln2"))
+            or (last in ("ln_scale", "ln_bias")
+                and "/cross/" not in f"/{joined}/")
+        )
+
+        def base() -> P:
+            if "/sa/" in f"/{joined}/":
+                if last.startswith("w1_") or last.startswith("b1_"):
+                    return sharded(leaf, leaf.ndim - 1)   # head-major columns
+                if last.startswith("w2_"):
+                    return sharded(leaf, 1)               # head axis
+                if last == "proj_w1":
+                    return sharded(leaf, 1)               # row-parallel over heads
+                if last in ("proj_w2", "proj_b1", "proj_b2"):
+                    return P()
+                raise ValueError(f"unknown self-attention parameter: {joined}")
+            if "/ffwd/" in f"/{joined}/":
+                if last in ("w1", "b1"):
+                    return sharded(leaf, leaf.ndim - 1)   # column-parallel
+                if last == "w2":
+                    return sharded(leaf, 1)               # row-parallel
+                if last == "b2":
+                    return P()
+                raise ValueError(f"unknown feed-forward parameter: {joined}")
+            if "/heads/" in f"/{joined}/":
+                if last in ("w1", "b1"):
+                    return sharded(leaf, leaf.ndim - 1)   # column-parallel V//2
+                if last == "w2":
+                    return sharded(leaf, 0)               # row-parallel V//2
+                if last == "b2":
+                    return P()
+                raise ValueError(f"unknown vocab-head parameter: {joined}")
+            if "/tok_emb/" in f"/{joined}/":
+                return sharded(leaf, 0)                   # vocab rows
+            return P()
+
+        spec = base()
+        return with_mod(spec, leaf) if stacked else spec
 
     flat = jax.tree_util.tree_flatten_with_path(params)
     specs = [spec_for(path, leaf) for path, leaf in flat[0]]
@@ -146,10 +184,13 @@ def param_pspecs(
 
 
 def shard_params(params, mesh: Mesh, n_head: int, model_axis: bool = True):
-    """Place the parameter pytree onto the mesh per param_pspecs."""
+    """Place the parameter pytree onto the mesh per param_pspecs. Modality
+    parallelism engages automatically when the mesh has a 'mod' axis > 1."""
     specs = param_pspecs(
         params, n_head, model_axis=model_axis,
         model_size=mesh.shape.get("model", 1),
+        mod_axis=mesh.shape.get("mod", 1) > 1,
+        mod_size=mesh.shape.get("mod", 1),
     )
     return jax.tree.map(
         lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),

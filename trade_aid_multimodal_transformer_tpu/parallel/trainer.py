@@ -53,7 +53,9 @@ def make_sharded_trainer(
     through ring attention over 'seq' (composing with 'data'/'model'
     sharding). block_size must then be divisible by the 'seq' size.
     """
-    batch_sharding = NamedSharding(mesh, batch_pspec())
+    batch_sharding = NamedSharding(
+        mesh, batch_pspec(mod_axis=mesh.shape.get("mod", 1) > 1)
+    )
 
     def constrain(x):
         return jax.lax.with_sharding_constraint(x, batch_sharding)
