@@ -232,3 +232,80 @@ class TestCheckpoint:
         for a, b in zip(jax.tree_util.tree_leaves(o), jax.tree_util.tree_leaves(o2)):
             assert a.dtype == b.dtype
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestLowmemAdam:
+    """make_optimizer's reduced-precision moment storage (tpu_options.
+    adam_moment_dtype / adam_nu_dtype). The custom _adamw_lowmem transform
+    must reproduce optax.adamw exactly when both dtypes stay f32."""
+
+    def _tree(self, key):
+        import jax
+
+        ks = jax.random.split(key, 3)
+        return {
+            "a": jax.random.normal(ks[0], (16, 8)),
+            "b": {"w": jax.random.normal(ks[1], (4, 4, 4)),
+                  "v": jax.random.normal(ks[2], (7,))},
+        }
+
+    def test_f32_matches_optax_adamw(self):
+        import jax
+        import optax
+
+        from trade_aid_multimodal_transformer_tpu.train.steps import _adamw_lowmem
+
+        params = self._tree(jax.random.PRNGKey(0))
+        ref_opt = optax.adamw(1e-3, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
+        new_opt = _adamw_lowmem(
+            1e-3, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01,
+            mu_dtype=jnp.float32, nu_dtype=jnp.float32,
+        )
+        p_ref = p_new = params
+        s_ref, s_new = ref_opt.init(params), new_opt.init(params)
+        for i in range(5):
+            g = self._tree(jax.random.PRNGKey(10 + i))
+            u_ref, s_ref = ref_opt.update(g, s_ref, p_ref)
+            p_ref = optax.apply_updates(p_ref, u_ref)
+            u_new, s_new = new_opt.update(g, s_new, p_new)
+            p_new = optax.apply_updates(p_new, u_new)
+        for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_new)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    def test_bf16_nu_storage_and_trajectory(self):
+        import jax
+        import optax
+
+        from trade_aid_multimodal_transformer_tpu.train.steps import make_optimizer
+
+        params = self._tree(jax.random.PRNGKey(1))
+        opt = make_optimizer(1e-3, moment_dtype="bfloat16", nu_dtype="bfloat16")
+        state = opt.init(params)
+        assert all(x.dtype == jnp.bfloat16 for x in jax.tree.leaves(state.mu))
+        assert all(x.dtype == jnp.bfloat16 for x in jax.tree.leaves(state.nu))
+
+        ref_opt = make_optimizer(1e-3)
+        p_ref, p_lm = params, params
+        s_ref = ref_opt.init(params)
+        for i in range(10):
+            g = self._tree(jax.random.PRNGKey(30 + i))
+            u, s_ref = ref_opt.update(g, s_ref, p_ref)
+            p_ref = optax.apply_updates(p_ref, u)
+            u, state = opt.update(g, state, p_lm)
+            p_lm = optax.apply_updates(p_lm, u)
+        # bf16 moment rounding perturbs the trajectory only at ~1e-3 relative
+        for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_lm)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0.05, atol=5e-4
+            )
+
+    def test_config_surface_roundtrip(self):
+        from trade_aid_multimodal_transformer_tpu.config.system import SystemConfig
+
+        sc = SystemConfig.from_dict(
+            {"tpu_options": {"adam_nu_dtype": "bfloat16"}}
+        )
+        assert sc.adam_nu_dtype == "bfloat16"
+        assert sc.to_dict()["tpu_options"]["adam_nu_dtype"] == "bfloat16"
+        with pytest.raises(ValueError, match="adam_nu_dtype"):
+            SystemConfig.from_dict({"tpu_options": {"adam_nu_dtype": "fp8"}})

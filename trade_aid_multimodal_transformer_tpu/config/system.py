@@ -65,6 +65,7 @@ class SystemConfig:
     remat: bool = False              # rematerialize blocks in backward
     rng_impl: str = "auto"           # 'auto' | 'threefry2x32' | 'rbg'
     adam_moment_dtype: str = "float32"  # 'float32' | 'bfloat16' (Adam mu)
+    adam_nu_dtype: str = "float32"   # 'float32' | 'bfloat16' (Adam nu)
     # Context parallelism: shard the attention sequence axis over this many
     # devices (ring attention, parallel/ring_attention.py). 1 = off.
     context_parallel: int = 1
@@ -136,6 +137,11 @@ class SystemConfig:
                 "adam_moment_dtype must be 'float32' or 'bfloat16', "
                 f"got {self.adam_moment_dtype!r}"
             )
+        if self.adam_nu_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                "adam_nu_dtype must be 'float32' or 'bfloat16', "
+                f"got {self.adam_nu_dtype!r}"
+            )
         if not isinstance(self.context_parallel, int) or self.context_parallel < 1:
             raise ValueError(
                 f"context_parallel must be a positive integer, "
@@ -163,6 +169,7 @@ class SystemConfig:
             remat=bool(tpu.get("remat", False)),
             rng_impl=tpu.get("rng_impl", "auto"),
             adam_moment_dtype=tpu.get("adam_moment_dtype", "float32"),
+            adam_nu_dtype=tpu.get("adam_nu_dtype", "float32"),
             context_parallel=int(tpu.get("context_parallel", 1)),
             compat_legacy_rand_index=bool(tpu.get("compat_legacy_rand_index", False)),
             compat_percent_decimals_from_ranging=bool(
@@ -225,6 +232,7 @@ class SystemConfig:
                 "remat": self.remat,
                 "rng_impl": self.rng_impl,
                 "adam_moment_dtype": self.adam_moment_dtype,
+                "adam_nu_dtype": self.adam_nu_dtype,
                 "context_parallel": self.context_parallel,
                 "compat_legacy_rand_index": self.compat_legacy_rand_index,
                 "compat_percent_decimals_from_ranging": self.compat_percent_decimals_from_ranging,

@@ -304,7 +304,9 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
     master_key, init_key = jax.random.split(master_key)
 
     optimizer = make_optimizer(
-        learning_rate, moment_dtype=sc.get("adam_moment_dtype", "float32")
+        learning_rate,
+        moment_dtype=sc.get("adam_moment_dtype", "float32"),
+        nu_dtype=sc.get("adam_nu_dtype", "float32"),
     )
     if create_new_model:
         print("Model: Creating new transformer...")
