@@ -338,6 +338,7 @@ class TestTpuOptions:
                 "rng_impl": "rbg",
                 "adam_moment_dtype": "bfloat16",
                 "adam_nu_dtype": "bfloat16",
+                "scan_unroll": 4,
                 "context_parallel": 2,
                 "compat_legacy_rand_index": True,
                 "compat_percent_decimals_from_ranging": True,

@@ -309,3 +309,42 @@ class TestLowmemAdam:
         assert sc.to_dict()["tpu_options"]["adam_nu_dtype"] == "bfloat16"
         with pytest.raises(ValueError, match="adam_nu_dtype"):
             SystemConfig.from_dict({"tpu_options": {"adam_nu_dtype": "fp8"}})
+
+
+class TestScanUnroll:
+    """tpu_options.scan_unroll is a pure performance knob — the unrolled
+    chunk must produce the identical trajectory."""
+
+    def test_unrolled_chunk_identical(self, setup):
+        cfg, feed, trainer, params, opt = setup
+        p1, o1, l1 = trainer.train_chunk(
+            fresh(params), opt.init(fresh(params)), jax.random.PRNGKey(5), 8
+        )
+        tr4 = Trainer(
+            cfg, feed, opt, trainer.metric_specs, eval_iters=3, scan_unroll=4
+        )
+        p4, o4, l4 = tr4.train_chunk(
+            fresh(params), opt.init(fresh(params)), jax.random.PRNGKey(5), 8
+        )
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l4), atol=1e-6)
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p4)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_non_divisible_chunks_fall_back(self, setup):
+        cfg, feed, trainer, params, opt = setup
+        tr4 = Trainer(
+            cfg, feed, opt, trainer.metric_specs, eval_iters=3, scan_unroll=4
+        )
+        # 7 % 4 != 0 — must still run (unroll falls back to 1)
+        p, o, l = tr4.train_chunk(
+            fresh(params), opt.init(fresh(params)), jax.random.PRNGKey(6), 7
+        )
+        assert np.asarray(l).shape == (7,)
+
+    def test_config_surface(self):
+        from trade_aid_multimodal_transformer_tpu.config.system import SystemConfig
+
+        sc = SystemConfig.from_dict({"tpu_options": {"scan_unroll": 4}})
+        assert sc.scan_unroll == 4
+        with pytest.raises(ValueError, match="scan_unroll"):
+            SystemConfig.from_dict({"tpu_options": {"scan_unroll": 0}})

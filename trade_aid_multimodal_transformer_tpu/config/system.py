@@ -66,6 +66,7 @@ class SystemConfig:
     rng_impl: str = "auto"           # 'auto' | 'threefry2x32' | 'rbg'
     adam_moment_dtype: str = "float32"  # 'float32' | 'bfloat16' (Adam mu)
     adam_nu_dtype: str = "float32"   # 'float32' | 'bfloat16' (Adam nu)
+    scan_unroll: int = 1             # train-chunk lax.scan unroll factor
     # Context parallelism: shard the attention sequence axis over this many
     # devices (ring attention, parallel/ring_attention.py). 1 = off.
     context_parallel: int = 1
@@ -142,6 +143,10 @@ class SystemConfig:
                 "adam_nu_dtype must be 'float32' or 'bfloat16', "
                 f"got {self.adam_nu_dtype!r}"
             )
+        if not isinstance(self.scan_unroll, int) or self.scan_unroll < 1:
+            raise ValueError(
+                f"scan_unroll must be a positive integer, got {self.scan_unroll!r}"
+            )
         if not isinstance(self.context_parallel, int) or self.context_parallel < 1:
             raise ValueError(
                 f"context_parallel must be a positive integer, "
@@ -170,6 +175,7 @@ class SystemConfig:
             rng_impl=tpu.get("rng_impl", "auto"),
             adam_moment_dtype=tpu.get("adam_moment_dtype", "float32"),
             adam_nu_dtype=tpu.get("adam_nu_dtype", "float32"),
+            scan_unroll=int(tpu.get("scan_unroll", 1)),
             context_parallel=int(tpu.get("context_parallel", 1)),
             compat_legacy_rand_index=bool(tpu.get("compat_legacy_rand_index", False)),
             compat_percent_decimals_from_ranging=bool(
@@ -233,6 +239,7 @@ class SystemConfig:
                 "rng_impl": self.rng_impl,
                 "adam_moment_dtype": self.adam_moment_dtype,
                 "adam_nu_dtype": self.adam_nu_dtype,
+                "scan_unroll": self.scan_unroll,
                 "context_parallel": self.context_parallel,
                 "compat_legacy_rand_index": self.compat_legacy_rand_index,
                 "compat_percent_decimals_from_ranging": self.compat_percent_decimals_from_ranging,

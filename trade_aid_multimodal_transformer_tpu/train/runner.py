@@ -365,6 +365,7 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
     trainer = Trainer(
         cfg, feed, optimizer, metric_specs, eval_iters,
         rng_impl=sc.get("rng_impl", "auto"), scope=scope,
+        scan_unroll=sc.get("scan_unroll", 1),
     )
 
     hyperparams = {

@@ -174,6 +174,7 @@ class Trainer:
         batch_constraint=None,
         rng_impl: str = "auto",
         scope=None,
+        scan_unroll: int = 1,
     ):
         self.cfg = cfg
         self.feed = feed
@@ -190,6 +191,13 @@ class Trainer:
         import contextlib
 
         self.scope = scope or contextlib.nullcontext
+        # lax.scan unroll factor for the fused train chunk. Semantically a
+        # no-op; at SMALL model scale the per-iteration scan overhead is a
+        # real fraction of the step, and unrolling amortizes it (measured on
+        # v5e, demo config: 6.2k -> 7.1k steps/s at unroll=4). Program size
+        # (and compile time) scales with the factor — keep 1 for big models,
+        # where within-step work dominates. Config: tpu_options.scan_unroll.
+        self.scan_unroll = max(1, int(scan_unroll))
 
         self._train_chunk = jax.jit(
             self._train_chunk_impl, static_argnames=("n_steps",), donate_argnums=(0, 1)
@@ -216,8 +224,9 @@ class Trainer:
 
         with self.scope():
             keys = jax.random.split(key, n_steps)
+            unroll = self.scan_unroll if n_steps % self.scan_unroll == 0 else 1
             (params, opt_state), step_losses = jax.lax.scan(
-                body, (params, opt_state), keys
+                body, (params, opt_state), keys, unroll=unroll
             )
         return params, opt_state, step_losses
 
