@@ -354,7 +354,12 @@ class TestTpuOptions:
         assert cfg.compat_legacy_rand_index is True
         assert cfg.compat_percent_decimals_from_ranging is True
         rt = SystemConfig.from_dict(cfg.to_dict())
-        assert rt.to_dict()["tpu_options"] == d["tpu_options"]
+        rt_tpu = rt.to_dict()["tpu_options"]
+        assert d["tpu_options"].items() <= rt_tpu.items()
+        # fields not in the input round-trip their defaults
+        assert rt_tpu["mesh"] == "auto"
+        assert rt_tpu["pipeline_microbatches"] == 4
+        assert rt_tpu["matmul_precision"] == "default"
 
     def test_invalid_values_rejected(self, tmp_path):
         base = {"project_settings": {"project_file_path": str(tmp_path)}}

@@ -216,11 +216,15 @@ class TestParamPspecs:
             "ffwd/w1", "ffwd/b1", "ffwd/w2",
             "pre/tok_emb/0", "pre/tok_emb/1",
             "post/heads/0/w1", "post/heads/0/w2", "post/heads/1/w1",
+            "cross/0/q_w", "cross/0/kv_w", "cross/0/proj_w1",
         ):
             assert any(frag in p for p in sharded_paths), f"{frag} not sharded"
 
         # Documented-replicated families must NOT be sharded.
-        for frag in ("ln1", "ln2", "pos_emb", "proj_w2", "cross", "ln_scale"):
+        for frag in (
+            "ln1", "ln2", "pos_emb", "sa/proj_w2", "cross/0/proj_w2",
+            "cross/0/ln_scale", "ln_scale",
+        ):
             assert not any(frag in p for p in sharded_paths), f"{frag} sharded"
 
         # Total coverage: a spec exists for every param leaf.

@@ -164,17 +164,11 @@ class CompatibilityMode:
                 "project_file_path": sc.project_file_path,
                 "output_file_name": sc.output_file_name,
                 "fixed_values": sc.fixed_values,
-                # TPU options (framework extension; defaults preserve
-                # reference behavior)
-                "compute_dtype": sc.compute_dtype,
-                "attn_impl": sc.attn_impl,
-                "remat": sc.remat,
-                "rng_impl": sc.rng_impl,
-                "adam_moment_dtype": sc.adam_moment_dtype,
-                "context_parallel": sc.context_parallel,
-                "compat_legacy_rand_index": sc.compat_legacy_rand_index,
-                "compat_percent_decimals_from_ranging": sc.compat_percent_decimals_from_ranging,
             }
+            # TPU options (framework extension; defaults preserve reference
+            # behavior). Surfaced generically from the dataclass so a field
+            # added to SystemConfig can never silently drop here.
+            params.update(sc.to_dict()["tpu_options"])
             return params
 
         config_module = importlib.import_module("config")

@@ -26,6 +26,16 @@ logger = logging.getLogger(__name__)
 _DEFAULT_FIXED_VALUES = [-0.5, -0.2, -0.1, 0, 0.1, 0.2, 0.5]
 
 
+def _normalize_mesh(value):
+    """YAML 1.1 reads bare ``off``/``on`` as booleans; map them back to the
+    documented string forms."""
+    if value is False:
+        return "off"
+    if value is True:
+        return "auto"
+    return value
+
+
 @dataclass
 class SystemConfig:
     """Flat view of ``config.yaml`` (reference: config_manager.py:30-98)."""
@@ -70,6 +80,18 @@ class SystemConfig:
     # Context parallelism: shard the attention sequence axis over this many
     # devices (ring attention, parallel/ring_attention.py). 1 = off.
     context_parallel: int = 1
+    # Device mesh for multi-chip training (parallel/resolve.py):
+    # 'auto' (default) = data-parallel over all visible devices; 'off' =
+    # single device; an int N = {data: N}; or a mapping with axes
+    # {data, model, mod, pipe}. Composes with context_parallel ('seq').
+    mesh: Any = "auto"
+    # GPipe microbatch count when mesh.pipe > 1 (parallel/pipeline.py).
+    pipeline_microbatches: int = 4
+    # MXU matmul precision for f32 operands: 'default' = native bf16
+    # multiplies (fastest; ~1e-2 per-layer deviation vs a float64 oracle),
+    # 'float32'/'highest' = full f32 via multi-pass bf16 (matches the
+    # reference's torch-CPU f32 matmuls, reference: model.py:65-72).
+    matmul_precision: str = "default"
     # Reference-quirk compatibility flags (SURVEY §7; default = documented
     # intent, True = reproduce the reference's as-shipped behavior):
     # Q1 — the reference reads the augmentation size from legacy-list slot
@@ -157,6 +179,38 @@ class SystemConfig:
                 f"context_parallel ({self.context_parallel}) must divide "
                 f"block_size ({self.block_size})"
             )
+        if isinstance(self.mesh, dict):
+            from ..parallel.resolve import MESH_AXES
+
+            unknown = set(self.mesh) - set(MESH_AXES)
+            if unknown:
+                raise ValueError(
+                    f"unknown tpu_options.mesh axes {sorted(unknown)}; "
+                    f"valid axes: {list(MESH_AXES)}"
+                )
+            for k, v in self.mesh.items():
+                if not isinstance(v, int) or v < 1:
+                    raise ValueError(
+                        f"tpu_options.mesh.{k} must be a positive integer, got {v!r}"
+                    )
+        elif isinstance(self.mesh, int):
+            if self.mesh < 1:
+                raise ValueError(f"tpu_options.mesh must be >= 1, got {self.mesh}")
+        elif self.mesh not in ("auto", "off"):
+            raise ValueError(
+                f"tpu_options.mesh must be 'auto', 'off', an int, or a mapping "
+                f"of axis sizes, got {self.mesh!r}"
+            )
+        if not isinstance(self.pipeline_microbatches, int) or self.pipeline_microbatches < 1:
+            raise ValueError(
+                "pipeline_microbatches must be a positive integer, "
+                f"got {self.pipeline_microbatches!r}"
+            )
+        if self.matmul_precision not in ("default", "float32", "highest"):
+            raise ValueError(
+                "matmul_precision must be 'default', 'float32' or 'highest', "
+                f"got {self.matmul_precision!r}"
+            )
 
     @classmethod
     def from_dict(cls, config_dict: Dict[str, Any]) -> "SystemConfig":
@@ -177,6 +231,10 @@ class SystemConfig:
             adam_nu_dtype=tpu.get("adam_nu_dtype", "float32"),
             scan_unroll=int(tpu.get("scan_unroll", 1)),
             context_parallel=int(tpu.get("context_parallel", 1)),
+            # YAML 1.1 parses bare `off`/`on` as booleans — normalize back
+            mesh=_normalize_mesh(tpu.get("mesh", "auto")),
+            pipeline_microbatches=int(tpu.get("pipeline_microbatches", 4)),
+            matmul_precision=tpu.get("matmul_precision", "default"),
             compat_legacy_rand_index=bool(tpu.get("compat_legacy_rand_index", False)),
             compat_percent_decimals_from_ranging=bool(
                 tpu.get("compat_percent_decimals_from_ranging", False)
@@ -187,18 +245,19 @@ class SystemConfig:
             create_new_model=bool(project.get("create_new_model", 1)),
             save_model=bool(project.get("save_model", 1)),
             device=project.get("device", "cpu"),
-            validation_size=splitting.get("validation_size", 0.1),
-            num_validation_files=splitting.get("num_validation_files", 0),
-            batch_size=training.get("batch_size", 32),
-            block_size=training.get("block_size", 64),
-            max_iters=training.get("max_iters", 5000),
-            eval_interval=training.get("eval_interval", 500),
-            eval_iters=training.get("eval_iters", 40),
-            learning_rate=training.get("learning_rate", 3e-4),
-            n_embd=arch.get("n_embd", 384),
-            n_head=arch.get("n_head", 6),
-            n_layer=arch.get("n_layer", 6),
-            dropout=arch.get("dropout", 0.2),
+            validation_size=float(splitting.get("validation_size", 0.1)),
+            num_validation_files=int(splitting.get("num_validation_files", 0)),
+            batch_size=int(training.get("batch_size", 32)),
+            block_size=int(training.get("block_size", 64)),
+            max_iters=int(training.get("max_iters", 5000)),
+            eval_interval=int(training.get("eval_interval", 500)),
+            eval_iters=int(training.get("eval_iters", 40)),
+            # YAML 1.1 reads bare scientific notation ("3e-4") as a string
+            learning_rate=float(training.get("learning_rate", 3e-4)),
+            n_embd=int(arch.get("n_embd", 384)),
+            n_head=int(arch.get("n_head", 6)),
+            n_layer=int(arch.get("n_layer", 6)),
+            dropout=float(arch.get("dropout", 0.2)),
             fixed_values=arch.get("fixed_values", list(_DEFAULT_FIXED_VALUES)),
         )
 
@@ -241,6 +300,9 @@ class SystemConfig:
                 "adam_nu_dtype": self.adam_nu_dtype,
                 "scan_unroll": self.scan_unroll,
                 "context_parallel": self.context_parallel,
+                "mesh": self.mesh,
+                "pipeline_microbatches": self.pipeline_microbatches,
+                "matmul_precision": self.matmul_precision,
                 "compat_legacy_rand_index": self.compat_legacy_rand_index,
                 "compat_percent_decimals_from_ranging": self.compat_percent_decimals_from_ranging,
             },

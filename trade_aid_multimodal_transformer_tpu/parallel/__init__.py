@@ -14,6 +14,7 @@ from .pipeline import (
     stack_blocks,
     unstack_blocks,
 )
+from .resolve import MESH_AXES, MeshPlan, plan_mesh
 from .ring_attention import make_ring_attention, ring_causal_attention_local
 from .trainer import (
     make_shard_map_dp_step,
@@ -31,6 +32,9 @@ __all__ = [
     "pipeline_total_loss",
     "stack_blocks",
     "unstack_blocks",
+    "MESH_AXES",
+    "MeshPlan",
+    "plan_mesh",
     "make_ring_attention",
     "ring_causal_attention_local",
     "make_shard_map_dp_step",

@@ -19,6 +19,9 @@ Axes:
   exchange activations (XLA inserts the gathers). Small fan-out (M = 2-4),
   so it composes with 'data' rather than replacing it; only materialized
   when requested.
+- 'pipe': pipeline parallelism — the block stack shards over GPipe stages
+  with ppermute activation handoffs (pipeline.py); block params stay
+  replicated in the pytree and are re-sharded at the shard_map boundary.
 """
 
 from __future__ import annotations
@@ -36,17 +39,22 @@ def make_mesh(
     devices: Optional[Sequence] = None,
     seq: int = 1,
     mod: int = 1,
+    pipe: int = 1,
 ) -> Mesh:
-    """Build a ([mod, ]data, model[, seq]) mesh. The product must equal the
-    device count. The 'seq' and 'mod' axes are only materialized when > 1,
-    so existing (data, model) call sites are unchanged."""
+    """Build a ([pipe, ][mod, ]data, model[, seq]) mesh. The product must
+    equal the device count. The 'pipe', 'seq' and 'mod' axes are only
+    materialized when > 1, so existing (data, model) call sites are
+    unchanged."""
     devices = list(devices) if devices is not None else jax.devices()
-    if data * model * seq * mod != len(devices):
+    if data * model * seq * mod * pipe != len(devices):
         raise ValueError(
-            f"mesh mod={mod} x {data}x{model}x{seq} needs "
-            f"{data*model*seq*mod} devices, have {len(devices)}"
+            f"mesh pipe={pipe} x mod={mod} x {data}x{model}x{seq} needs "
+            f"{data*model*seq*mod*pipe} devices, have {len(devices)}"
         )
     shape, names = [], []
+    if pipe > 1:
+        shape.append(pipe)
+        names.append("pipe")
     if mod > 1:
         shape.append(mod)
         names.append("mod")
@@ -100,7 +108,10 @@ def param_pspecs(
     | post.heads[i].w2            | (V_i//2, V_i)    | row-parallel over V_i//2 |
     | post.heads[i].b2            | (V_i,)           | replicated           |
     | ln1/ln2/post ln             | (M, C)           | replicated           |
-    | cross.*                     | —                | replicated (small: only cross-enabled modalities; H may be odd) |
+    | cross.q_w                   | (H, C, hs)       | head axis            |
+    | cross.kv_w                  | (J, H, C, 2hs)   | head axis            |
+    | cross.proj_w1               | (H*hs, C2)       | row-parallel over heads (XLA psums) |
+    | cross.proj_{w2,b1,b2}, ln_* | —                | replicated (follows the psum'd output) |
 
     Dims not divisible by the model-axis size fall back to replicated for
     that leaf (device_put needs even shards; tiny demo vocabs hit this).
@@ -163,6 +174,16 @@ def param_pspecs(
                 if last == "b2":
                     return P()
                 raise ValueError(f"unknown feed-forward parameter: {joined}")
+            if "/cross/" in f"/{joined}/":
+                if last == "q_w":
+                    return sharded(leaf, 0)               # head axis
+                if last == "kv_w":
+                    return sharded(leaf, 1)               # head axis (J leads)
+                if last == "proj_w1":
+                    return sharded(leaf, 0)               # row-parallel over heads
+                if last in ("proj_b1", "proj_w2", "proj_b2", "ln_scale", "ln_bias"):
+                    return P()
+                raise ValueError(f"unknown cross-attention parameter: {joined}")
             if "/heads/" in f"/{joined}/":
                 if last in ("w1", "b1"):
                     return sharded(leaf, leaf.ndim - 1)   # column-parallel V//2

@@ -173,7 +173,12 @@ def pipeline_total_loss(
     keys = None
     if rng is not None and train and cfg.dropout > 0.0:
         mu = microbatches
-        keys = jax.random.split(rng, L * mu).reshape(L, mu, -1)
+        ks = jax.random.split(rng, L * mu)
+        # typed key arrays are 1-D (L*mu,); raw uint32 keys are (L*mu, 2)
+        if jnp.issubdtype(ks.dtype, jax.dtypes.prng_key):
+            keys = ks.reshape(L, mu)
+        else:
+            keys = ks.reshape(L, mu, -1)
     stacked = stack_blocks(params["blocks"])
     x = embed(params, cfg, idx)
     x = pipeline_apply(

@@ -44,6 +44,9 @@ def make_sharded_trainer(
     mesh: Mesh,
     model_axis: bool = True,
     rng_impl: str = "auto",
+    scan_unroll: int = 1,
+    extra_scope=None,
+    pipeline_microbatches: int = 4,
 ) -> Trainer:
     """Trainer whose jitted programs partition over the mesh.
 
@@ -52,6 +55,16 @@ def make_sharded_trainer(
     ``ops.attention.context_parallel_scope`` so the attention cores route
     through ring attention over 'seq' (composing with 'data'/'model'
     sharding). block_size must then be divisible by the 'seq' size.
+
+    If the mesh has a 'pipe' axis (>1), the differentiated objective becomes
+    ``pipeline_total_loss`` — the block stack runs as a GPipe schedule over
+    the stages (pipeline.py) with ``pipeline_microbatches`` microbatches;
+    evaluation still uses the plain forward (block params are replicated in
+    the pytree, so both views of the model are always available).
+
+    ``extra_scope``: an additional zero-arg context-manager factory entered
+    inside the traced steps (e.g. jax.default_matmul_precision from
+    tpu_options.matmul_precision), composed with the seq scope.
     """
     batch_sharding = NamedSharding(
         mesh, batch_pspec(mod_axis=mesh.shape.get("mod", 1) > 1)
@@ -60,7 +73,9 @@ def make_sharded_trainer(
     def constrain(x):
         return jax.lax.with_sharding_constraint(x, batch_sharding)
 
-    scope = None
+    scopes = []
+    if extra_scope is not None:
+        scopes.append(extra_scope)
     seq = mesh.shape.get("seq", 1)
     if seq > 1:
         if cfg.block_size % seq != 0:
@@ -70,21 +85,77 @@ def make_sharded_trainer(
             )
         from ..ops.attention import context_parallel_scope
 
-        scope = lambda: context_parallel_scope(mesh, "seq")  # noqa: E731
+        scopes.append(lambda: context_parallel_scope(mesh, "seq"))
+
+    scope = _compose_scopes(scopes) if scopes else None
+
+    loss_fn = None
+    if mesh.shape.get("pipe", 1) > 1:
+        from functools import partial
+
+        from .pipeline import pipeline_total_loss
+
+        data_axis = "data" if mesh.shape.get("data", 1) > 1 else None
+
+        def loss_fn(params, cfg_, idx, targets, rng, train):  # noqa: F811
+            return pipeline_total_loss(
+                params, cfg_, idx, targets, mesh,
+                microbatches=pipeline_microbatches, rng=rng, train=train,
+                axis="pipe", data_axis=data_axis,
+            )
 
     return Trainer(
         cfg, feed, optimizer, metric_specs, eval_iters,
         batch_constraint=constrain, rng_impl=rng_impl, scope=scope,
+        scan_unroll=scan_unroll, loss_fn=loss_fn,
     )
 
 
-def shard_train_state(params, optimizer, mesh: Mesh, n_head: int, model_axis: bool = True):
+def _compose_scopes(factories):
+    """One zero-arg context-manager factory entering all given factories."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def combined():
+        with contextlib.ExitStack() as stack:
+            for f in factories:
+                stack.enter_context(f())
+            yield
+
+    return combined
+
+
+def shard_train_state(
+    params, optimizer, mesh: Mesh, n_head: int, model_axis: bool = True,
+    opt_state=None,
+):
     """Place params on the mesh and build optimizer state with matching
     shardings (optax states mirror the param tree, so zeros_like inherits
-    the placements)."""
+    the placements).
+
+    ``opt_state``: a previously loaded (host/replicated) optimizer state to
+    resume from — each leaf is re-placed with the sharding the fresh state
+    would have, so checkpoint resume keeps the mesh layout.
+    """
     sharded = shard_params(params, mesh, n_head, model_axis=model_axis)
-    opt_state = optimizer.init(sharded)
-    return sharded, opt_state
+    fresh = optimizer.init(sharded)
+    replicated = NamedSharding(mesh, P())
+
+    def target(f):
+        # Moment leaves inherit mesh placements from the sharded params via
+        # zeros_like; scalar leaves (Adam's count) come out single-device
+        # and must be replicated onto the mesh, or jit rejects the mix.
+        s = getattr(f, "sharding", None)
+        return s if isinstance(s, NamedSharding) else replicated
+
+    if opt_state is None:
+        placed = jax.tree.map(lambda f: jax.device_put(f, target(f)), fresh)
+    else:
+        placed = jax.tree.map(
+            lambda f, loaded: jax.device_put(loaded, target(f)),
+            fresh, opt_state,
+        )
+    return sharded, placed
 
 
 def make_shard_map_dp_step(

@@ -126,6 +126,13 @@ _STEP_DISPLAY = {
 def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = None) -> Dict[str, Any]:
     """Run the full workflow; returns a summary dict (final params, losses,
     vocabularies) for programmatic callers."""
+    # Persistent XLA compile cache: TPU compiles of the fused programs cost
+    # tens of seconds to minutes; every rerun of the same config must hit
+    # disk instead (the reference has no compile step at all).
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     print("TRADE-AID MULTIMODAL TRANSFORMER")
     print("=" * 45)
     print("Initializing configuration system...")
@@ -345,28 +352,61 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
         all_vocabularies, [md.is_percent for md in modalities], block_size
     )
 
-    # tpu_options.context_parallel: shard the attention sequence axis over a
-    # 'seq' mesh axis (ring attention) — needs that many devices.
-    cp = int(sc.get("context_parallel", 1))
-    scope = None
-    if cp > 1:
-        from ..ops.attention import context_parallel_scope
-        from ..parallel.mesh import make_mesh
+    # ----------------------------------------------------- parallelism plan
+    # tpu_options.mesh + context_parallel resolve to a device mesh here, so
+    # `python main.py` trains multi-device with zero CLI flags (the
+    # reference's config-only contract, reference: main.py:29-64). On one
+    # device the plan is trivial and the plain single-chip Trainer runs.
+    from ..parallel.resolve import plan_mesh
 
-        if len(jax.devices()) < cp:
-            raise ValueError(
-                f"tpu_options.context_parallel={cp} but only "
-                f"{len(jax.devices())} device(s) are available"
-            )
-        cp_mesh = make_mesh(1, 1, jax.devices()[:cp], seq=cp)
-        scope = lambda: context_parallel_scope(cp_mesh, "seq")  # noqa: E731
-        print(f"Parallelism: context-parallel attention over {cp} devices")
-
-    trainer = Trainer(
-        cfg, feed, optimizer, metric_specs, eval_iters,
-        rng_impl=sc.get("rng_impl", "auto"), scope=scope,
-        scan_unroll=sc.get("scan_unroll", 1),
+    plan = plan_mesh(
+        sc.get("mesh", "auto"),
+        int(sc.get("context_parallel", 1)),
+        batch_size=batch_size,
+        block_size=block_size,
+        n_head=sc["n_head"],
+        num_modalities=num_modalities,
+        n_layer=sc["n_layer"],
+        pipeline_microbatches=int(sc.get("pipeline_microbatches", 4)),
     )
+
+    # tpu_options.matmul_precision: force full-f32 MXU matmuls for f32
+    # operands (the reference's torch-CPU numeric contract) instead of the
+    # TPU-native bf16-multiply default. Entered inside the traced steps.
+    precision = sc.get("matmul_precision", "default")
+    precision_scope = None
+    if precision in ("float32", "highest"):
+        precision_scope = lambda: jax.default_matmul_precision("float32")  # noqa: E731
+
+    if plan.trivial:
+        import contextlib
+
+        scope = precision_scope or contextlib.nullcontext
+        trainer = Trainer(
+            cfg, feed, optimizer, metric_specs, eval_iters,
+            rng_impl=sc.get("rng_impl", "auto"), scope=scope,
+            scan_unroll=sc.get("scan_unroll", 1),
+        )
+    else:
+        from ..parallel.trainer import make_sharded_trainer, shard_train_state
+
+        mesh = plan.build()
+        use_model_axis = plan.model > 1
+        print(f"Parallelism: {plan.describe()} over {plan.n_devices} devices")
+        trainer = make_sharded_trainer(
+            cfg, feed, optimizer, metric_specs, eval_iters, mesh,
+            model_axis=use_model_axis,
+            rng_impl=sc.get("rng_impl", "auto"),
+            scan_unroll=sc.get("scan_unroll", 1),
+            extra_scope=precision_scope,
+            pipeline_microbatches=int(sc.get("pipeline_microbatches", 4)),
+        )
+        # Re-place params (and any checkpoint-loaded optimizer state) onto
+        # the mesh; freshly created state is built sharded.
+        params, opt_state = shard_train_state(
+            params, optimizer, mesh, cfg.n_head,
+            model_axis=use_model_axis, opt_state=opt_state,
+        )
 
     hyperparams = {
         "n_embd": sc["n_embd"], "n_head": sc["n_head"], "n_layer": sc["n_layer"],

@@ -175,6 +175,7 @@ class Trainer:
         rng_impl: str = "auto",
         scope=None,
         scan_unroll: int = 1,
+        loss_fn=None,
     ):
         self.cfg = cfg
         self.feed = feed
@@ -182,6 +183,11 @@ class Trainer:
         self.metric_specs = list(metric_specs)
         self.eval_iters = eval_iters
         self.rng_impl = rng_impl
+        # The differentiated objective: (params, cfg, xb, yb, rng, train) ->
+        # (loss, per-modality losses). Default is the plain forward's
+        # total_loss; parallel/trainer substitutes pipeline_total_loss when
+        # the mesh has a 'pipe' axis.
+        self.loss_fn = loss_fn or total_loss
         # Optional sharding annotation applied to sampled batches so XLA
         # distributes the per-step compute across a mesh (parallel/).
         self.batch_constraint = batch_constraint or (lambda x: x)
@@ -215,7 +221,7 @@ class Trainer:
             k_batch, k_drop = jax.random.split(step_key)
             xb, yb = self.feed._sample_impl(k_batch, split="train", augment=True)
             xb, yb = self.batch_constraint(xb), self.batch_constraint(yb)
-            (loss, losses), grads = jax.value_and_grad(total_loss, has_aux=True)(
+            (loss, losses), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
                 params, self.cfg, xb, yb, k_drop, True
             )
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
