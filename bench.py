@@ -6,18 +6,30 @@ percent changes), B=4, T=4, n_embd=32, n_head=4, n_layer=2, dropout 0.1
 (BASELINE.md). Here the same model trains as fused device programs with
 in-scan batch sampling.
 
+The demo and production runs are built FROM the shipped YAML configs
+(examples/demo_*.yaml, examples/production_config.yaml) so the bench and the
+configs cannot drift. Additional metrics: tokenization throughput,
+production-scale 4-modality steps/s with an analytic-FLOPs MFU
+(models/param_count.training_flops_per_step counts the actual factored
+projections, cross-attention, and vocab heads), and long-context (T=1024 /
+T=4096) training rates where the Pallas flash kernels carry the step.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Diagnostics go to stderr.
 """
 
 import contextlib
+import dataclasses
 import io
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent))
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+os.chdir(REPO)  # YAML-declared data paths are repo-relative
 
 import numpy as np
 
@@ -46,8 +58,21 @@ def dsync(x):
     return x
 
 
+def _load_yaml_config(config_path: Path, schemas_path: Path = None):
+    """Load a shipped YAML config (and optionally its input schemas) through
+    the real config subsystem — one source of truth with examples/."""
+    from trade_aid_multimodal_transformer_tpu.config.system import ConfigManager
+
+    cm = ConfigManager(config_dir=REPO)
+    sc = cm.load_system_config(config_path)
+    schemas = None
+    if schemas_path is not None:
+        schemas = list(cm.load_input_schemas(schemas_path).schemas)
+    return sc, schemas
+
+
 def build_demo_run():
-    from trade_aid_multimodal_transformer_tpu.config.schema import InputSchema
+    """The demo model/trainer exactly as examples/demo_*.yaml declare it."""
     from trade_aid_multimodal_transformer_tpu.data.ingest import load_and_process_modality
     from trade_aid_multimodal_transformer_tpu.data.vocab import (
         create_train_val_datasets,
@@ -56,75 +81,46 @@ def build_demo_run():
     from trade_aid_multimodal_transformer_tpu.models.config import ModelConfig
     from trade_aid_multimodal_transformer_tpu.models.init import init_params
     from trade_aid_multimodal_transformer_tpu.sampling.feed import BatchFeed
+    from trade_aid_multimodal_transformer_tpu.sampling.feed import resolve_rand_sizes
     from trade_aid_multimodal_transformer_tpu.train.metrics import build_metric_specs
     from trade_aid_multimodal_transformer_tpu.train.steps import Trainer, make_optimizer
 
-    root = Path(__file__).resolve().parent
-    csv = str(root / "examples" / "demo_data" / "demo_stock.csv")
-    schemas = [
-        InputSchema.from_dict(
-            {
-                "modality_name": "Demo Prices",
-                "path": csv,
-                "column_number": 13,
-                "has_header": True,
-                "processing_steps": [
-                    {
-                        "function": "range_numeric_data",
-                        "args": {"num_whole_digits": 2, "decimal_places": 1},
-                    }
-                ],
-                "cross_attention": True,
-            }
-        ),
-        InputSchema.from_dict(
-            {
-                "modality_name": "Demo Changes (%)",
-                "path": csv,
-                "column_number": 13,
-                "has_header": True,
-                "processing_steps": [
-                    {"function": "convert_to_percent_changes", "args": {"decimal_places": 2}},
-                    {
-                        "function": "bin_numeric_data",
-                        "args": {"num_bins": 3, "outlier_percentile": 0.1},
-                    },
-                ],
-            }
-        ),
-    ]
+    sc, schemas = _load_yaml_config(
+        REPO / "examples" / "demo_config.yaml",
+        REPO / "examples" / "demo_input_schemas.yaml",
+    )
+    mparams = [s.to_legacy_list() for s in schemas]
 
     trains, vals, vocabs, mods = [], [], [], []
     with contextlib.redirect_stdout(io.StringIO()):
         for s in schemas:
             md = load_and_process_modality(s)
             ids, vocab = numerical_representation(md.data)
-            tr, va = create_train_val_datasets(ids, 0.2, 0, md.file_lengths)
+            tr, va = create_train_val_datasets(
+                ids, sc.validation_size, 0, md.file_lengths
+            )
             trains.append(tr)
             vals.append(va)
             vocabs.append(vocab)
             mods.append(md)
 
-    cfg = ModelConfig(
-        vocab_sizes=tuple(len(v) for v in vocabs),
-        cross_attention=(True, False),
-        n_embd=32,
-        n_head=4,
-        n_layer=2,
-        block_size=4,
-        dropout=0.1,
-        attn_impl="auto",
+    sc_dict = dataclasses.asdict(sc)
+    cfg = ModelConfig.from_modality_params(
+        sc_dict, [len(v) for v in vocabs], mparams
     )
     feed = BatchFeed(
-        trains, vals, mods[0].file_lengths, cfg.block_size, 4,
-        is_percents=True, rand_sizes=[None, None],
+        trains, vals, mods[0].file_lengths, cfg.block_size, sc.batch_size,
+        is_percents=any(m.is_percent for m in mods),
+        rand_sizes=resolve_rand_sizes(mparams),
         vocab_sizes=[len(v) for v in vocabs],
     )
     specs = build_metric_specs(vocabs, [m.is_percent for m in mods], cfg.block_size)
-    optimizer = make_optimizer(1e-3)
+    optimizer = make_optimizer(
+        sc.learning_rate, sc.adam_moment_dtype, sc.adam_nu_dtype
+    )
     # scan_unroll=4: at demo scale the per-iteration scan overhead is a real
     # fraction of the 160us step; unrolling measures ~15% more steps/s
-    trainer = Trainer(cfg, feed, optimizer, specs, eval_iters=40, scan_unroll=4)
+    trainer = Trainer(cfg, feed, optimizer, specs, sc.eval_iters, scan_unroll=4)
     params = init_params(jax.random.PRNGKey(0), cfg)
     opt_state = optimizer.init(params)
     return trainer, params, opt_state
@@ -144,42 +140,46 @@ def bench_tokenize():
     return 1.0 / best  # M rows/s
 
 
-def bench_production():
-    """4-modality production config at 1M rows — the scale the reference
-    cannot reach (~5.7 s/step of host batching alone, SURVEY §6)."""
-    from trade_aid_multimodal_transformer_tpu.models.config import ModelConfig
+def _synthetic_trainer(cfg, sc, batch_size, n_rows=1_000_000, rand_sizes=None):
+    """Trainer over synthetic tokenized data at a given scale (the
+    production/flagship data shape the reference cannot reach)."""
     from trade_aid_multimodal_transformer_tpu.models.init import init_params
     from trade_aid_multimodal_transformer_tpu.sampling.feed import BatchFeed
     from trade_aid_multimodal_transformer_tpu.train.metrics import build_metric_specs
     from trade_aid_multimodal_transformer_tpu.train.steps import Trainer, make_optimizer
 
-    cfg = ModelConfig(
-        vocab_sizes=(500, 120, 24, 48), cross_attention=(True, True, False, False),
-        n_embd=384, n_head=6, n_layer=6, block_size=64, dropout=0.2,
-    )
     rng = np.random.default_rng(0)
-    n_rows, n_val = 1_000_000, 100_000
+    n_val = n_rows // 10
     train = [rng.integers(0, v, n_rows - n_val).astype(np.int32) for v in cfg.vocab_sizes]
     val = [rng.integers(0, v, n_val).astype(np.int32) for v in cfg.vocab_sizes]
     feed = BatchFeed(
-        train, val, [n_rows], cfg.block_size, 32,
-        is_percents=False, rand_sizes=[2, 2, None, None],
+        train, val, [n_rows], cfg.block_size, batch_size,
+        is_percents=False,
+        rand_sizes=rand_sizes or [None] * len(cfg.vocab_sizes),
         vocab_sizes=list(cfg.vocab_sizes),
     )
     specs = build_metric_specs(
         [np.linspace(-1, 1, v).tolist() for v in cfg.vocab_sizes],
-        [False] * 4, cfg.block_size,
+        [False] * len(cfg.vocab_sizes), cfg.block_size,
     )
-    optimizer = make_optimizer(1e-3)
-    trainer = Trainer(cfg, feed, optimizer, specs, eval_iters=40)
+    optimizer = make_optimizer(
+        sc.learning_rate, sc.adam_moment_dtype, sc.adam_nu_dtype
+    )
+    trainer = Trainer(cfg, feed, optimizer, specs, sc.eval_iters,
+                      rng_impl=sc.rng_impl, scan_unroll=sc.scan_unroll)
     params = init_params(jax.random.PRNGKey(0), cfg)
     opt_state = optimizer.init(params)
+    return trainer, params, opt_state
 
-    chunk = 50
-    params, opt_state, l = trainer.train_chunk(params, opt_state, jax.random.PRNGKey(0), chunk)
+
+def _time_steps(trainer, params, opt_state, chunk, trials=2):
+    """Best steps/s over `trials` timed chunks (after a compile chunk)."""
+    params, opt_state, l = trainer.train_chunk(
+        params, opt_state, jax.random.PRNGKey(0), chunk
+    )
     dsync(l)
     best = 0.0
-    for trial in range(2):
+    for trial in range(trials):
         t0 = time.perf_counter()
         params, opt_state, l = trainer.train_chunk(
             params, opt_state, jax.random.PRNGKey(trial + 1), chunk
@@ -187,6 +187,97 @@ def bench_production():
         dsync(l)
         best = max(best, chunk / (time.perf_counter() - t0))
     return best
+
+
+def _production_cfg_sc(block_size=None, attn_impl=None):
+    """Flagship 4-modality model from examples/production_config.yaml
+    hyperparameters (vocabs per BASELINE.json config #5)."""
+    from trade_aid_multimodal_transformer_tpu.models.config import ModelConfig
+
+    sc, _ = _load_yaml_config(REPO / "examples" / "production_config.yaml")
+    cfg = ModelConfig(
+        vocab_sizes=(500, 120, 24, 48),
+        cross_attention=(True, True, False, False),
+        n_embd=sc.n_embd, n_head=sc.n_head, n_layer=sc.n_layer,
+        block_size=block_size or sc.block_size, dropout=sc.dropout,
+        compute_dtype=sc.compute_dtype,
+        attn_impl=attn_impl or sc.attn_impl,
+        remat=sc.remat,
+    )
+    return cfg, sc
+
+
+def bench_production():
+    """4-modality production config at 1M rows — the scale the reference
+    cannot reach (~5.7 s/step of host batching alone, SURVEY §6). Settings
+    come from examples/production_config.yaml (bf16 compute + bf16 Adam
+    moments — the shipped recommendation)."""
+    from trade_aid_multimodal_transformer_tpu.models.param_count import (
+        training_flops_per_step,
+    )
+
+    cfg, sc = _production_cfg_sc()
+    trainer, params, opt_state = _synthetic_trainer(
+        cfg, sc, sc.batch_size, rand_sizes=[2, 2, None, None]
+    )
+    sps = _time_steps(trainer, params, opt_state, chunk=50)
+    flops = training_flops_per_step(cfg, sc.batch_size)
+    mfu_pct = sps * flops / 197e12 * 100  # v5e bf16 peak 197 TF/s
+    return sps, mfu_pct, flops
+
+
+def bench_long_context():
+    """Flagship model at long block_size — the regime the Pallas flash
+    kernels exist for (the reference materializes dense (T, T) affinities,
+    reference: model.py:55-72). Returns steps/s at T=1024 and T=4096 plus
+    the op-level flash-vs-dense fwd+bwd speedup at T=4096."""
+    from trade_aid_multimodal_transformer_tpu.ops.attention import causal_attention
+
+    results = {}
+    for t, batch in ((1024, 8), (4096, 4)):
+        cfg, sc = _production_cfg_sc(block_size=t)
+        trainer, params, opt_state = _synthetic_trainer(cfg, sc, batch)
+        t0 = time.perf_counter()
+        sps = _time_steps(trainer, params, opt_state, chunk=10)
+        log(f"long-context T={t} B={batch}: {sps:.1f} steps/s "
+            f"(bench wall {time.perf_counter() - t0:.0f}s)")
+        results[f"T{t}"] = sps
+
+    # Op-level flash vs dense at T=4096 (bf16, flagship head shape).
+    if jax.default_backend() == "tpu":
+        import jax.numpy as jnp
+
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        shape = (4, 6, 4096, 64)
+        q, k, v = (
+            jax.random.normal(s, shape, jnp.bfloat16) for s in ks
+        )
+
+        def fwd_bwd(impl):
+            f = jax.jit(
+                jax.grad(
+                    lambda q, k, v: (
+                        causal_attention(q, k, v, impl=impl) ** 2
+                    ).sum().astype(jnp.float32),
+                    argnums=(0, 1, 2),
+                )
+            )
+            dsync(f(q, k, v))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                dsync(f(q, k, v))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_dense = fwd_bwd("jnp")
+        t_flash = fwd_bwd("pallas")
+        log(f"attention fwd+bwd T=4096: dense {t_dense*1e3:.2f} ms, "
+            f"flash {t_flash*1e3:.2f} ms")
+        results["flash_speedup"] = t_dense / t_flash
+    else:
+        results["flash_speedup"] = None
+    return results
 
 
 def main():
@@ -214,16 +305,10 @@ def main():
 
     tok = bench_tokenize()
     log(f"tokenization: {tok:.2f} M rows/s")
-    prod = bench_production()
-    log(f"production 4-modality: {prod:.1f} steps/s")
-    # model FLOPs per production step (fwd+bwd ≈ 3× fwd matmul FLOPs) for an
-    # MFU denominator: 4 decoder stacks, 6 layers, B=32 T=64 d=384
-    flops_step = 3 * 4 * 6 * 32 * 64 * (
-        4 * 2 * 384 * 384          # qkv+proj matmuls per token
-        + 2 * 2 * 384 * 4 * 384    # ffwd
-        + 2 * 2 * 64 * 384         # attention scores+values (T=64)
-    )
-    mfu_pct = prod * flops_step / 197e12 * 100  # v5e bf16 peak 197 TF/s
+    prod, mfu_pct, flops = bench_production()
+    log(f"production 4-modality: {prod:.1f} steps/s, "
+        f"{mfu_pct:.2f}% MFU ({flops/1e9:.2f} GF/step)")
+    lc = bench_long_context()
 
     print(
         json.dumps(
@@ -249,6 +334,27 @@ def main():
                         "metric": "production_model_mfu_v5e",
                         "value": round(mfu_pct, 2),
                         "unit": "%",
+                        "vs_baseline": None,
+                    },
+                    {
+                        "metric": "train_steps_per_sec_T1024",
+                        "value": round(lc["T1024"], 2),
+                        "unit": "steps/s",
+                        "vs_baseline": None,
+                    },
+                    {
+                        "metric": "train_steps_per_sec_T4096",
+                        "value": round(lc["T4096"], 2),
+                        "unit": "steps/s",
+                        "vs_baseline": None,
+                    },
+                    {
+                        "metric": "flash_speedup_T4096",
+                        "value": (
+                            round(lc["flash_speedup"], 2)
+                            if lc["flash_speedup"] else None
+                        ),
+                        "unit": "x vs dense attention (fwd+bwd)",
                         "vs_baseline": None,
                     },
                 ],
