@@ -55,7 +55,77 @@ def parse_surface(out: str) -> dict:
     }
     m = re.search(r"LOSS METRICS: Step 0/\d+ \| Train: ([\d.]+) \| Val: ([\d.]+)", out)
     surface["step0"] = (float(m.group(1)), float(m.group(2))) if m else None
+
+    # Behavioral surface: every eval's loss pair and per-modality directional
+    # accuracies, keyed by (split, modality), across the whole run
+    # (reference: training_utils.py:461-485 prints
+    # "  - <name>  <wins>/<total> (<pct>%)" under per-split headers).
+    surface["loss_curve"] = [
+        (float(a), float(b))
+        for a, b in re.findall(
+            r"LOSS METRICS: Step \d+/\d+ \| Train: ([\d.]+) \| Val: ([\d.]+)", out
+        )
+    ]
+    accs = {}
+    current_split = None
+    for line in out.splitlines():
+        m = re.search(r"DIRECTIONAL METRICS - (Train|Val) Set", line)
+        if m:
+            current_split = m.group(1)
+            continue
+        m = re.match(r"\s+- (.+?)\s+(\d+)/(\d+) \(([\d.]+)%\)\s*$", line)
+        if m and current_split:
+            key = (current_split, m.group(1).strip())
+            accs.setdefault(key, []).append(float(m.group(4)))
+    surface["directional"] = accs
     return surface
+
+
+def compare_behavior(ours: dict, ref: dict, failures: list) -> None:
+    """Distributional comparison of the training trajectories: final losses
+    within a tolerance band, directional-accuracy distributions overlapping.
+
+    Cross-framework RNG differs, so these are band checks, not exact diffs
+    (the reference's own metric spread across seeds is wide — e.g. val
+    directional accuracy 3.8-5.0% on its demo prices modality)."""
+    if ours["loss_curve"] and ref["loss_curve"]:
+        for idx, name in ((0, "train"), (1, "val")):
+            a = ours["loss_curve"][-1][idx]
+            b = ref["loss_curve"][-1][idx]
+            tol = 0.25 + 0.1 * abs(b)
+            if abs(a - b) > tol:
+                failures.append(
+                    f"final {name} loss {a:.4f} vs reference {b:.4f} "
+                    f"(|delta| {abs(a-b):.4f} > tol {tol:.4f})"
+                )
+            else:
+                print(f"final {name} loss: {a:.4f} vs ref {b:.4f} (within {tol:.3f})")
+        # losses must also DECREASE comparably from step 0
+        for idx, name in ((0, "train"),):
+            ours_drop = ours["loss_curve"][0][idx] - ours["loss_curve"][-1][idx]
+            ref_drop = ref["loss_curve"][0][idx] - ref["loss_curve"][-1][idx]
+            print(
+                f"{name} loss drop over run: {ours_drop:.4f} vs ref {ref_drop:.4f}"
+            )
+
+    # Directional accuracies: compare run-level means per (split, modality)
+    # with a band wide enough for sampling noise at demo eval sizes but
+    # tight enough to catch a broken metric (e.g. inverted signs -> ~100-x).
+    for key in sorted(set(ours["directional"]) & set(ref["directional"])):
+        a = sum(ours["directional"][key]) / len(ours["directional"][key])
+        b = sum(ref["directional"][key]) / len(ref["directional"][key])
+        band = 25.0
+        split, mod = key
+        if abs(a - b) > band:
+            failures.append(
+                f"directional accuracy ({split}/{mod}): mean {a:.1f}% vs "
+                f"reference {b:.1f}% (|delta| > {band}%)"
+            )
+        else:
+            print(f"directional ({split}/{mod}): mean {a:.1f}% vs ref {b:.1f}%")
+    missing = set(ref["directional"]) - set(ours["directional"])
+    if missing:
+        failures.append(f"directional metrics missing for {sorted(missing)}")
 
 
 def main():
@@ -102,6 +172,7 @@ def main():
             if ref["step0"] and ours["step0"]:
                 d = abs(ref["step0"][0] - ours["step0"][0])
                 print(f"step-0 train loss delta vs reference: {d:.4f} (RNG differs)")
+            compare_behavior(ours, ref, failures)
     else:
         print("reference not found; analytic checks only")
 
