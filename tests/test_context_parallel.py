@@ -60,6 +60,7 @@ def _specs(cfg):
     )
 
 
+@pytest.mark.slow
 class TestLongContextTrainingStep:
     """T = 2048 training step sharded over the sequence axis, grads (via the
     updated params and losses) matching the dense single-device step."""

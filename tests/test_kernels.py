@@ -29,6 +29,7 @@ def qkv(n, t, hs, seed=0):
     return tuple(jax.random.normal(k, (n, t, hs), jnp.float32) for k in ks)
 
 
+@pytest.mark.slow
 class TestFlashEquivalence:
     @pytest.mark.parametrize(
         "n,t,hs", [(4, 256, 64), (2, 512, 32), (3, 256, 8), (1, 384, 16)]
@@ -91,6 +92,7 @@ class TestFlashEquivalence:
         assert not np.allclose(np.asarray(out_a[:, -1]), np.asarray(out_b[:, -1]))
 
 
+@pytest.mark.slow
 class TestFlashCross:
     """The fused cross-attention kernel must equal per-stream dense attention
     summed over streams (reference semantics: model.py:119-159)."""
@@ -181,6 +183,7 @@ class TestFlashCross:
         check_grads(f, (q, k, v), order=1, modes=("rev",), atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.slow
 class TestInKernelDropout:
     """Attention dropout generated inside the kernel (TPU-native PRNG): the
     keep-mask is regenerated per (seed, batch·head, q-block, k-block) in
@@ -268,6 +271,7 @@ class TestDispatch:
         assert not np.allclose(np.asarray(out), np.asarray(ref))
 
 
+@pytest.mark.slow
 class TestChunkPrimitives:
     """The ring/CP chunk core: the Pallas chunk kernels (causal AND full-mask
     variants) must match the dense jnp mirror in values, lse, and the
@@ -344,6 +348,7 @@ class TestChunkPrimitives:
         np.testing.assert_allclose(np.asarray(gv), np.asarray(dv), atol=2e-5)
 
 
+@pytest.mark.slow
 class TestStreamedKernels:
     """KV-streamed kernel variants (third grid dimension + VMEM scratch
     carry) must match the whole-row kernels exactly — including dropout,
@@ -416,6 +421,7 @@ class TestStreamedKernels:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
+@pytest.mark.slow
 class TestBf16KernelIO:
     """bf16 q/k/v pass straight through the kernels (half the HBM traffic);
     compute still accumulates in f32. Tolerance reflects bf16's ~3 decimal
@@ -450,3 +456,27 @@ class TestBf16KernelIO:
             np.testing.assert_allclose(
                 np.asarray(a, dtype=np.float32), np.asarray(b), atol=5e-2
             )
+
+
+class TestQuickSmoke:
+    """Fast, unmarked kernel equivalence smoke (the full interpret-mode
+    sweeps run under `-m slow`): one forward + one gradient case."""
+
+    def test_forward_smoke(self):
+        q, k, v = qkv(1, 256, 16, seed=3)
+        ref = causal_attention_jnp(q, k, v)
+        out = flash_causal_attention(q, k, v, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_gradient_smoke(self):
+        q, k, v = qkv(1, 256, 16, seed=5)
+        gf = jax.grad(
+            lambda q, k, v: (flash_causal_attention(q, k, v, interpret=True) ** 2).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        gd = jax.grad(
+            lambda q, k, v: (causal_attention_jnp(q, k, v) ** 2).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(gf, gd):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)

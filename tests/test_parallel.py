@@ -161,7 +161,7 @@ class TestShardedTrainerEquivalence:
         )
         for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sh)):
             np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
             )
 
         # Eval must agree too (metrics are integer win/loss counts: exact).
@@ -284,7 +284,7 @@ class TestModalityParallel:
         )
         for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sh)):
             np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
             )
 
     def test_stacked_params_physically_sharded(self, devices):

@@ -20,6 +20,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from trade_aid_multimodal_transformer_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def dsync(x):
     leaf = jax.tree_util.tree_leaves(x)[0]

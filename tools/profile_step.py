@@ -24,6 +24,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from trade_aid_multimodal_transformer_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def dsync(x):
     leaf = jax.tree_util.tree_leaves(x)[0]
@@ -93,13 +97,15 @@ def main():
         _, losses = jax.lax.scan(body, 0, jax.random.split(key, n))
         return losses
 
-    # 2) forward+backward
+    # 2) forward+backward (sum-reduce every grad leaf so none is DCE'd)
     @jax.jit
     def grad_scan(params, key):
         def body(c, k):
             (l, _), g = jax.value_and_grad(total_loss, has_aux=True)(
                 params, cfg, xb, yb, k, True)
-            return c, (l, jax.tree_util.tree_leaves(g)[0][0, 0, 0])
+            keep = sum(jnp.sum(x.astype(jnp.float32))
+                       for x in jax.tree_util.tree_leaves(g))
+            return c, (l, keep)
         _, out = jax.lax.scan(body, 0, jax.random.split(key, n))
         return out
 
@@ -120,12 +126,12 @@ def main():
         (p, o), u = jax.lax.scan(body, (params, opt_state), None, length=n)
         return u
 
-    # 4) sample+augment only
+    # 4) sample+augment only (sum so gathers aren't DCE'd)
     @jax.jit
     def sample_scan(key):
         def body(c, k):
             xb, yb = feed._sample_impl(k, split="train", augment=True)
-            return c, xb[0, 0, 0]
+            return c, xb.sum() + yb.sum()
         _, out = jax.lax.scan(body, 0, jax.random.split(key, n))
         return out
 

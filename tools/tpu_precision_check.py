@@ -17,6 +17,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
+
+from trade_aid_multimodal_transformer_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
 import numpy as np
 
 from trade_aid_multimodal_transformer_tpu.models.config import ModelConfig

@@ -64,8 +64,29 @@ def _qkv_project(h: jax.Array, w1, b1, w2, H: int, hs2: int) -> jax.Array:
     M, B, T, _ = h.shape
     t = _mm("mbtc,mcd->mbtd", h, w1) + b1.astype(h.dtype)[:, None, None, :]
     t = jnp.tanh(t).reshape(M, B, T, H, hs2)
-    out = _mm("mbthd,mhde->mbthe", t, w2)
-    return out.transpose(0, 1, 3, 2, 4)  # (M, B, H, T, hs)
+    # output order (M,B,H,T,hs) straight from the einsum — a separate
+    # transpose materializes a physical copy per call (measured ~26 us each
+    # on v5e; 18 calls/layer-sweep add up)
+    return _mm("mbthd,mhde->mbhte", t, w2)
+
+
+def _qkv_project_fused(h: jax.Array, sa, H: int, hs2: int):
+    """All three factored q/k/v projections in TWO einsums instead of six.
+
+    The per-projection weights concatenate at trace time ((M,C,D)x3 →
+    (M,C,3D) — a cheap weight-sized copy), turning three half-size matmul
+    chains into one. At production scale the step is op-dispatch-bound
+    (~10k executed HLO ops, ~1.3 us average), so fewer, larger MXU ops win
+    even with identical FLOPs. Returns q, k, v: (M, B, H, T, hs).
+    """
+    M, B, T, _ = h.shape
+    w1 = jnp.concatenate([sa["w1_q"], sa["w1_k"], sa["w1_v"]], axis=-1)
+    b1 = jnp.concatenate([sa["b1_q"], sa["b1_k"], sa["b1_v"]], axis=-1)
+    t = _mm("mbtc,mcd->mbtd", h, w1) + b1.astype(h.dtype)[:, None, None, :]
+    t = jnp.tanh(t).reshape(M, B, T, 3, H, hs2)
+    w2 = jnp.stack([sa["w2_q"], sa["w2_k"], sa["w2_v"]])  # (3, M, H, hs2, hs)
+    out = _mm("mbtihd,imhde->imbhte", t, w2)
+    return out[0], out[1], out[2]
 
 
 def _proj_mlp(out: jax.Array, w1, b1, w2, b2) -> jax.Array:
@@ -76,6 +97,26 @@ def _proj_mlp(out: jax.Array, w1, b1, w2, b2) -> jax.Array:
         return _mm("mbte,mec->mbtc", t, w2) + b2.astype(dt)[:, None, None, :]
     t = jnp.tanh(_mm("...d,de->...e", out, w1) + b1.astype(dt))
     return _mm("...e,ec->...c", t, w2) + b2.astype(dt)
+
+
+def _proj_mlp_heads(att: jax.Array, w1, b1, w2, b2, H: int, hs: int) -> jax.Array:
+    """Output projection taking attention output in (…, H, T, hs) layout.
+
+    Contracts (head, head_feature) against w1 reshaped (…, H, hs, C2) — the
+    transpose-back-and-reshape of the head-major attention output fuses into
+    the matmul's dimension numbers instead of materializing a copy.
+    """
+    dt = att.dtype
+    if w1.ndim == 3:  # stacked over modality: att (M,B,H,T,hs)
+        M = att.shape[0]
+        w1r = w1.reshape(M, H, hs, w1.shape[-1])
+        t = jnp.tanh(
+            _mm("mbhte,mhec->mbtc", att, w1r) + b1.astype(dt)[:, None, None, :]
+        )
+        return _mm("mbtc,mcd->mbtd", t, w2) + b2.astype(dt)[:, None, None, :]
+    w1r = w1.reshape(H, hs, w1.shape[-1])  # att (B,H,T,hs)
+    t = jnp.tanh(_mm("bhte,hec->btc", att, w1r) + b1.astype(dt))
+    return _mm("btc,cd->btd", t, w2) + b2.astype(dt)
 
 
 def self_attention(
@@ -90,9 +131,10 @@ def self_attention(
     H, hs = cfg.n_head, cfg.head_size
     hs2 = hs // 2
 
-    k = _qkv_project(x_norm, sa["w1_k"], sa["b1_k"], sa["w2_k"], H, hs2)
-    q = _qkv_project(x_norm, sa["w1_q"], sa["b1_q"], sa["w2_q"], H, hs2)
-    v = _qkv_project(x_norm, sa["w1_v"], sa["b1_v"], sa["w2_v"], H, hs2)
+    # measured on v5e (production config): fused 10.76 vs split 11.20 ms
+    # fwd+bwd; batching the three projections wins despite the layout copy
+    # the stacked-w2 einsum introduces
+    q, k, v = _qkv_project_fused(x_norm, sa, H, hs2)
 
     att = causal_attention(
         q, k, v,
@@ -102,8 +144,9 @@ def self_attention(
         impl=cfg.attn_impl,
     )  # (M, B, H, T, hs)
 
-    out = att.transpose(0, 1, 3, 2, 4).reshape(M, B, T, H * hs)
-    out = _proj_mlp(out, sa["proj_w1"], sa["proj_b1"], sa["proj_w2"], sa["proj_b2"])
+    out = _proj_mlp_heads(
+        att, sa["proj_w1"], sa["proj_b1"], sa["proj_w2"], sa["proj_b2"], H, hs
+    )
     return dropout(out, cfg.dropout, keys(), train)
 
 
@@ -139,8 +182,9 @@ def cross_attention(
         impl=cfg.attn_impl,
     )  # (B, H, T, hs)
 
-    out = att.transpose(0, 2, 1, 3).reshape(B, T, H * hs)
-    out = _proj_mlp(out, cp["proj_w1"], cp["proj_b1"], cp["proj_w2"], cp["proj_b2"])
+    out = _proj_mlp_heads(
+        att, cp["proj_w1"], cp["proj_b1"], cp["proj_w2"], cp["proj_b2"], H, hs
+    )
     return dropout(out, cfg.dropout, keys(), train)
 
 
@@ -180,7 +224,11 @@ def block_forward(
 
     if block["cross"]:
         # KV inputs are the post-SA/FF activations (x), frozen for all
-        # modalities before any cross update is applied.
+        # modalities before any cross update is applied. Per-modality
+        # unrolling measured FASTER than batching the querying modalities
+        # over a leading axis (10.76 vs 11.28 ms fwd+bwd, production config,
+        # v5e): batching forces a (N,J,B,T,C) activation gather and 6-D
+        # batched matmuls whose layout copies outweigh the saved op count.
         updates = {}
         for i_str, cp in block["cross"].items():
             i = int(i_str)

@@ -114,6 +114,24 @@ def causal_attention_jnp(
     return out.astype(dt)
 
 
+def fold_key(key: jax.Array, i) -> jax.Array:
+    """``jax.random.fold_in`` that also accepts KeyGen v2 raw uint32 salt
+    arrays (ops/layers.py): the (possibly traced) index is murmur-mixed with
+    scalar ops and xored into the trailing salt word."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return jax.random.fold_in(key, i)
+    import numpy as np
+
+    h = jnp.asarray(i).astype(jnp.uint32)
+    h = h ^ (h >> np.uint32(16))
+    h = h * np.uint32(2246822519)
+    h = h ^ (h >> np.uint32(13))
+    h = h * np.uint32(3266489917)
+    h = h ^ (h >> np.uint32(16))
+    salt = key.reshape(-1).astype(jnp.uint32)
+    return salt.at[-1].set(salt[-1] ^ h)
+
+
 def _cp_self_attention(q, k, v, mesh, axis, dropout_rate, dropout_key, train, impl):
     """Ring attention over the 'seq' mesh axis for the self-attention layout
     (q/k/v: (M, B, H, T, hs) or (B, H, T, hs)). Batch/head dims co-shard over
@@ -135,7 +153,7 @@ def _cp_self_attention(q, k, v, mesh, axis, dropout_rate, dropout_key, train, im
             # folds the seq rank per chunk pair)
             for other in ("data", "model"):
                 if mesh.shape.get(other, 1) > 1:
-                    key = jax.random.fold_in(key, jax.lax.axis_index(other))
+                    key = fold_key(key, jax.lax.axis_index(other))
         return ring_causal_attention_local(
             q, k, v, axis_name=axis, impl=impl,
             dropout_rate=dropout_rate, dropout_key=key, train=train,
@@ -175,10 +193,10 @@ def _cp_cross_attention(q, k, v, mesh, axis, dropout_rate, dropout_key, train, i
         if key is not None:
             for other in ("data", "model"):
                 if mesh.shape.get(other, 1) > 1:
-                    key = jax.random.fold_in(key, jax.lax.axis_index(other))
+                    key = fold_key(key, jax.lax.axis_index(other))
         out = None
         for j in range(k.shape[0]):
-            kj = jax.random.fold_in(key, j) if key is not None else None
+            kj = fold_key(key, j) if key is not None else None
             o = ring_causal_attention_local(
                 q, k[j], v[j], axis_name=axis, impl=impl,
                 dropout_rate=dropout_rate, dropout_key=kj, train=train,

@@ -70,6 +70,17 @@ def _pick_block(t: int, target: int) -> int:
 
 MIN_FLASH_SEQ_LEN = 256  # below this the dense core is faster (tiny matmuls)
 
+
+def seed_from_key(key: jax.Array) -> jax.Array:
+    """(1,) int32 dropout seed from a typed PRNG key OR a raw uint32 salt
+    array (the KeyGen v2 site format, ops/layers.py)."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return jax.lax.bitcast_convert_type(
+            jax.random.bits(key, (1,), "uint32"), jnp.int32
+        )
+    data = key.reshape(-1).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type((data[0] ^ data[-1])[None], jnp.int32)
+
 # Above this many bytes for one K+V sequence row, the kernels switch from
 # whole-row-in-VMEM (optimal HBM traffic: K/V read once per collapsed batch
 # row) to KV-block streaming over a third grid dimension (traffic O(T²·hs/BQ)
@@ -1042,9 +1053,7 @@ def flash_cross_attention(
     if rate > 0.0:
         if dropout_key is None:
             raise ValueError("dropout_rate > 0 requires dropout_key")
-        seed = jax.lax.bitcast_convert_type(
-            jax.random.bits(dropout_key, (1,), "uint32"), jnp.int32
-        )
+        seed = seed_from_key(dropout_key)
     else:
         seed = jnp.zeros((1,), jnp.int32)
     out = _flash_cross(q3, k4, v4, seed, bq, bk, rate, interpret)
@@ -1105,9 +1114,7 @@ def flash_causal_attention(
     if rate > 0.0:
         if dropout_key is None:
             raise ValueError("dropout_rate > 0 requires dropout_key")
-        seed = jax.lax.bitcast_convert_type(
-            jax.random.bits(dropout_key, (1,), "uint32"), jnp.int32
-        )
+        seed = seed_from_key(dropout_key)
     else:
         seed = jnp.zeros((1,), jnp.int32)
     out = _flash3(q3, k3, v3, seed, bq, bk, rate, interpret)

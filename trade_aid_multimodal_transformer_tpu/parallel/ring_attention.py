@@ -182,9 +182,9 @@ def ring_causal_attention_local(
     if rate > 0.0:
         if dropout_key is None:
             raise ValueError("dropout_rate > 0 requires dropout_key")
-        seed = jax.lax.bitcast_convert_type(
-            jax.random.bits(dropout_key, (1,), "uint32"), jnp.int32
-        )
+        from ..ops.pallas_attention import seed_from_key
+
+        seed = seed_from_key(dropout_key)
     else:
         seed = None
     return _ring(q, k, v, seed, axis_name, impl, rate)
