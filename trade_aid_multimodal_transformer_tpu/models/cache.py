@@ -28,6 +28,14 @@ position-dependent embeddings). Two policies are offered past that point:
   chunk step ``t``); this is the documented standard sliding-window-serving
   approximation, NOT bit-faithful, and is opt-in only.
 
+Prefill (cache population from a prompt) runs attention through the standard
+dispatching cores (``ops.attention.causal_attention`` / ``cross_causal_
+attention``) over the new tokens — with an empty cache the visibility mask
+reduces to pure causal, so on TPU at prompt length >= MIN_FLASH_SEQ_LEN the
+Pallas flash kernels carry the prefill (O(T) memory) instead of the masked
+dense read of the whole cache window. Decode steps (t=1) stay the banded
+matvec against the cache.
+
 Cache layout per block (S = block_size):
   sa_k / sa_v: (M, B, H, S, hs) self-attention keys/values
   cross[i]["k"/"v"]: (J, B, H, S, hs) cross K/V for querying modality i over
@@ -44,6 +52,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.attention import causal_attention, cross_causal_attention
 from ..ops.layers import KeyGen, layernorm
 from .config import ModelConfig
 from .sampler import _scan_steps
@@ -101,8 +110,16 @@ def _attn_cached(q, kc, vc, start, t_new: int):
     return out.astype(dt)
 
 
-def _sa_cached(x_norm, sa, cfg: ModelConfig, kc, vc, start):
-    """Self-attention with cache append. x_norm: (M, B, t, C)."""
+def _sa_cached(x_norm, sa, cfg: ModelConfig, kc, vc, start, prefill: bool = False):
+    """Self-attention with cache append. x_norm: (M, B, t, C).
+
+    ``prefill=True`` (static; requires start == 0 and an empty cache) runs
+    the attention through the standard dispatch (``causal_attention``) over
+    the new tokens only — on TPU at T >= MIN_FLASH_SEQ_LEN that is the Pallas
+    flash kernel, making long-prompt prefill O(T) in memory instead of the
+    masked dense read of the whole cache. Equivalent because with an empty
+    cache the visibility mask reduces to pure causal over the new tokens.
+    """
     M, B, t, _ = x_norm.shape
     H, hs = cfg.n_head, cfg.head_size
     hs2 = hs // 2
@@ -111,13 +128,17 @@ def _sa_cached(x_norm, sa, cfg: ModelConfig, kc, vc, start):
     v_new = _qkv_project(x_norm, sa["w1_v"], sa["b1_v"], sa["w2_v"], H, hs2)
     kc = jax.lax.dynamic_update_slice_in_dim(kc, k_new.astype(kc.dtype), start, axis=3)
     vc = jax.lax.dynamic_update_slice_in_dim(vc, v_new.astype(vc.dtype), start, axis=3)
-    att = _attn_cached(q, kc, vc, start, t)  # (M, B, H, t, hs)
+    if prefill:
+        att = causal_attention(q, k_new, v_new, impl=cfg.attn_impl)
+    else:
+        att = _attn_cached(q, kc, vc, start, t)  # (M, B, H, t, hs)
     out = att.transpose(0, 1, 3, 2, 4).reshape(M, B, t, H * hs)
     out = _proj_mlp(out, sa["proj_w1"], sa["proj_b1"], sa["proj_w2"], sa["proj_b2"])
     return out, kc, vc
 
 
-def _cross_cached(y, kv_x_new, cp, cfg: ModelConfig, kc, vc, start):
+def _cross_cached(y, kv_x_new, cp, cfg: ModelConfig, kc, vc, start,
+                  prefill: bool = False):
     """Cross-attention with cache append.
 
     y: (B, t, C) LN_cross output of the querying modality;
@@ -132,13 +153,17 @@ def _cross_cached(y, kv_x_new, cp, cfg: ModelConfig, kc, vc, start):
     v_new = _mm("jbtc,jhcf->jbhtf", kv_x_new, cp["kv_w"][..., hs:])
     kc = jax.lax.dynamic_update_slice_in_dim(kc, k_new.astype(kc.dtype), start, axis=3)
     vc = jax.lax.dynamic_update_slice_in_dim(vc, v_new.astype(vc.dtype), start, axis=3)
-    att = _attn_cached(q[None], kc, vc, start, t).sum(axis=0)  # (B, H, t, hs)
+    if prefill:  # empty cache: pure causal over new tokens (flash-eligible)
+        att = cross_causal_attention(q, k_new, v_new, impl=cfg.attn_impl)
+    else:
+        att = _attn_cached(q[None], kc, vc, start, t).sum(axis=0)  # (B, H, t, hs)
     out = att.transpose(0, 2, 1, 3).reshape(B, t, -1)
     out = _proj_mlp(out, cp["proj_w1"], cp["proj_b1"], cp["proj_w2"], cp["proj_b2"])
     return out, kc, vc
 
 
-def block_forward_cached(x, block, cache, start, cfg: ModelConfig):
+def block_forward_cached(x, block, cache, start, cfg: ModelConfig,
+                         prefill: bool = False):
     """One MultimodalBlock over new positions only, reading/writing the cache.
 
     Same update order as block_forward (reference: model.py:214-244):
@@ -148,7 +173,7 @@ def block_forward_cached(x, block, cache, start, cfg: ModelConfig):
     keys = KeyGen(None)
     sa_out, kc, vc = _sa_cached(
         layernorm(x, block["ln1"]["scale"], block["ln1"]["bias"]),
-        block["sa"], cfg, cache["sa_k"], cache["sa_v"], start,
+        block["sa"], cfg, cache["sa_k"], cache["sa_v"], start, prefill,
     )
     x = x + sa_out
     x = x + feed_forward(
@@ -166,7 +191,8 @@ def block_forward_cached(x, block, cache, start, cfg: ModelConfig):
             kv_x = x[jnp.array(kv_idx)] if len(kv_idx) > 1 else x[kv_idx[0]][None]
             y = layernorm(x[i], cp["ln_scale"], cp["ln_bias"])
             cc = cache["cross"][i_str]
-            out, ck, cv = _cross_cached(y, kv_x, cp, cfg, cc["k"], cc["v"], start)
+            out, ck, cv = _cross_cached(
+                y, kv_x, cp, cfg, cc["k"], cc["v"], start, prefill)
             updates[i] = x[i] + out
             new_cache["cross"][i_str] = {"k": ck, "v": cv}
         if updates:
@@ -200,17 +226,19 @@ def forward_cached(
     cache: List[Dict],
     start,
     head_modality: Optional[int] = None,
+    prefill: bool = False,
 ) -> Tuple[Any, List[Dict]]:
     """Forward over new positions only. idx: (M, B, t).
 
     Returns (logits, new_cache): logits is the last-position logits of
     ``head_modality`` (B, V) when given, else the full per-modality list of
-    (B, t, V) logits.
+    (B, t, V) logits. ``prefill=True`` requires start == 0 / empty cache and
+    routes attention through the flash-dispatching cores.
     """
     x = embed_at(params, cfg, idx, start)
     new_caches = []
     for block, bc in zip(params["blocks"], cache):
-        x, nb = block_forward_cached(x, block, bc, start, cfg)
+        x, nb = block_forward_cached(x, block, bc, start, cfg, prefill)
         new_caches.append(nb)
     if head_modality is None:
         return logits_heads(params, cfg, x), new_caches
@@ -229,7 +257,8 @@ def _prefill(params, cfg: ModelConfig, idx, modality_to_generate: int):
     """Populate the cache from the prompt; return last-position logits."""
     cache = init_cache(cfg, idx.shape[1], params)
     logits, cache = forward_cached(
-        params, cfg, idx, cache, 0, head_modality=modality_to_generate
+        params, cfg, idx, cache, 0, head_modality=modality_to_generate,
+        prefill=True,
     )
     return logits, cache
 

@@ -252,30 +252,82 @@ def embed(params: Dict[str, Any], cfg: ModelConfig, idx: jax.Array) -> jax.Array
     """
     T = idx.shape[-1]
     pos = params["pre"]["pos_emb"][:T]
-    xs = [
-        params["pre"]["tok_emb"][m][idx[m]] + pos
-        for m in range(cfg.num_modalities)
-    ]
-    x = jnp.stack(xs)
+    tabs = params["pre"]["tok_emb"]
+    Vp = _round128(max(cfg.vocab_sizes))
+    # pad the ragged per-modality tables to one (M, Vp, C) buffer so the
+    # lookup is ONE batched gather instead of M gathers + a stack
+    tab = jnp.stack([jnp.pad(t, ((0, Vp - t.shape[0]), (0, 0))) for t in tabs])
+    x = jax.vmap(lambda t, i: t[i])(tab, idx) + pos
     if cfg.compute_dtype == "bfloat16":
         x = x.astype(jnp.bfloat16)
     return x
 
 
+_HEAD_PAD_NEG = -1e30  # padded-class logit; exp(-1e30 - max) underflows to 0.0
+                       # EXACTLY in f32/f64, so padded log_softmax is
+                       # bit-identical to the unpadded one on real classes
+
+
+def _round128(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
+def logits_heads_padded(
+    params: Dict[str, Any], cfg: ModelConfig, x: jax.Array
+) -> jax.Array:
+    """All vocab heads in ONE batched matmul chain over a padded vocab.
+
+    The per-modality heads have ragged vocab sizes (e.g. 500/120/24/48); the
+    reference runs them as four separate module calls (model.py:322-352).
+    Here the head weights pad at trace time to a shared lane-aligned width
+    and stack over the modality axis, so LN + both head matmuls + the
+    cross-entropy log_softmax run batched. Padded classes get a -1e30 bias
+    through zeroed weight columns — exp underflows to exactly 0.0, so
+    softmax/CE/argmax over the real classes are bit-identical to the
+    unpadded computation (pinned by the float64 reference-parity test).
+
+    Returns (M, B, T, Vp) logits in f32 (f64 under the float64 path).
+    """
+    post = params["post"]
+    M = cfg.num_modalities
+    Vs = list(cfg.vocab_sizes)
+    Hs = [v // 2 for v in Vs]
+    Vp = _round128(max(Vs))
+    Hp = _round128(max(Hs))
+
+    w1 = jnp.stack([
+        jnp.pad(h["w1"], ((0, 0), (0, Hp - h["w1"].shape[1])))
+        for h in post["heads"]
+    ])                                                       # (M, C, Hp)
+    b1 = jnp.stack([
+        jnp.pad(h["b1"], (0, Hp - h["b1"].shape[0])) for h in post["heads"]
+    ])                                                       # (M, Hp)
+    w2 = jnp.stack([
+        jnp.pad(h["w2"], ((0, Hp - h["w2"].shape[0]), (0, Vp - h["w2"].shape[1])))
+        for h in post["heads"]
+    ])                                                       # (M, Hp, Vp)
+    b2 = jnp.stack([
+        jnp.pad(h["b2"], (0, Vp - h["b2"].shape[0]),
+                constant_values=_HEAD_PAD_NEG)
+        for h in post["heads"]
+    ])                                                       # (M, Vp)
+
+    h = layernorm(x, post["ln_scale"], post["ln_bias"])
+    dt = h.dtype
+    t = jnp.tanh(_mm("mbtc,mch->mbth", h, w1) + b1.astype(dt)[:, None, None, :])
+    logits = _mm("mbth,mhv->mbtv", t, w2)
+    acc = jnp.float64 if dt == jnp.float64 else jnp.float32
+    return logits.astype(acc) + b2.astype(acc)[:, None, None, :]
+
+
 def logits_heads(
     params: Dict[str, Any], cfg: ModelConfig, x: jax.Array
 ) -> List[jax.Array]:
-    """Per-modality LN + vocab//2 tanh-MLP head (reference: model.py:322-352)."""
-    post = params["post"]
-    out = []
-    for m in range(cfg.num_modalities):
-        h = layernorm(x[m], post["ln_scale"][m], post["ln_bias"][m])
-        head = post["heads"][m]
-        logits = _proj_mlp(h, head["w1"], head["b1"], head["w2"], head["b2"])
-        if logits.dtype == jnp.bfloat16:
-            logits = logits.astype(jnp.float32)
-        out.append(logits)
-    return out
+    """Per-modality LN + vocab//2 tanh-MLP head (reference: model.py:322-352).
+
+    API-compatible list view over the batched padded computation."""
+    padded = logits_heads_padded(params, cfg, x)
+    return [padded[m, ..., : v] for m, v in enumerate(cfg.vocab_sizes)]
 
 
 def cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
@@ -283,6 +335,17 @@ def cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     return nll.mean()
+
+
+def cross_entropy_padded(logits_pad: jax.Array, targets: jax.Array) -> jax.Array:
+    """Per-modality mean CE over padded batched logits.
+
+    logits_pad: (M, B, T, Vp) with -1e30 on padded classes (exactly zero
+    probability mass); targets: (M, B, T) < real vocab size. Returns (M,).
+    """
+    logp = jax.nn.log_softmax(logits_pad, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return nll.mean(axis=(1, 2))
 
 
 def forward(
@@ -316,13 +379,16 @@ def forward(
         )
     for block in params["blocks"]:
         x = blk(x, block, keys(), cfg, train)
-    logits_list = logits_heads(params, cfg, x)
+    padded = logits_heads_padded(params, cfg, x)
+    logits_list = [padded[m, ..., : v] for m, v in enumerate(cfg.vocab_sizes)]
 
     if targets is None:
         return logits_list, None
-    losses_list = [
-        cross_entropy(logits_list[m], targets[m]) for m in range(cfg.num_modalities)
-    ]
+    # batched CE over the padded logits (one log_softmax for all modalities;
+    # the per-modality slicing above is dead code under the training loss
+    # and folds away)
+    losses = cross_entropy_padded(padded, targets)
+    losses_list = [losses[m] for m in range(cfg.num_modalities)]
     return logits_list, losses_list
 
 
