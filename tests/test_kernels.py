@@ -480,3 +480,184 @@ class TestQuickSmoke:
         )(q, k, v)
         for a, b in zip(gf, gd):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+# --------------------------------------------------------- short-context kernel
+
+
+from trade_aid_multimodal_transformer_tpu.ops.pallas_attention import (  # noqa: E402
+    hash_keep_mask,
+    seed_from_key,
+    short_attention_eligible,
+    short_causal_attention,
+    short_cross_attention,
+    short_cross_eligible,
+    _STREAM_SEED_STRIDE,
+)
+
+
+def _short_ref(q, k, v, seed=None, rate=0.0, stream_seed=None):
+    """jnp mirror of the short kernel's interpret-mode math: masked softmax,
+    keep-mask on normalized probabilities keyed by the GLOBAL collapsed row
+    index (the kernel keys by pid*g + in-block row, which equals it)."""
+    n, t, hs = q.shape
+    s = jnp.einsum("nqh,nkh->nqk", q, k) * hs ** -0.5
+    s = jnp.where(jnp.tril(jnp.ones((t, t), bool)), s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    if rate > 0.0:
+        n_idx = jnp.arange(n, dtype=jnp.int32).reshape(n, 1, 1)
+        use = stream_seed if stream_seed is not None else seed
+        keep = hash_keep_mask(use, n_idx, 0, 0, (n, t, t), rate)
+        p = jnp.where(keep, p, 0.0) / (1.0 - rate)
+    return jnp.einsum("nqk,nkh->nqh", p, v)
+
+
+class TestShortKernel:
+    @pytest.mark.parametrize(
+        "n,t,hs", [(4, 64, 64), (2, 8, 16), (3, 128, 32), (2, 72, 16), (1, 512, 64)]
+    )
+    def test_forward_matches_dense(self, n, t, hs):
+        q, k, v = qkv(n, t, hs, seed=t + n)
+        ref = causal_attention_jnp(q, k, v)
+        out = short_causal_attention(q, k, v, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_multi_leading_dims(self):
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        shape = (2, 3, 2, 64, 16)  # (M, B, H, T, hs)
+        q, k, v = (jax.random.normal(kk, shape, jnp.float32) for kk in ks)
+        ref = causal_attention_jnp(q, k, v)
+        out = short_causal_attention(q, k, v, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    @pytest.mark.parametrize("n,t,hs", [(4, 64, 64), (2, 8, 16), (3, 128, 32)])
+    def test_gradients_match_dense(self, n, t, hs):
+        q, k, v = qkv(n, t, hs, seed=7 + t)
+        gf = jax.grad(
+            lambda q, k, v: (
+                short_causal_attention(q, k, v, interpret=True) ** 2
+            ).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        gd = jax.grad(
+            lambda q, k, v: (causal_attention_jnp(q, k, v) ** 2).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(gf, gd):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+    def test_dropout_matches_reference_fwd_and_grad(self):
+        """Interpret-mode dropout (values AND the single-kernel backward)
+        against an independent jnp mirror using the same hash mask."""
+        n, t, hs = 4, 64, 16
+        q, k, v = qkv(n, t, hs, seed=11)
+        key = jax.random.PRNGKey(5)
+        seed = seed_from_key(key)
+        rate = 0.25
+
+        out = short_causal_attention(
+            q, k, v, interpret=True, dropout_rate=rate, dropout_key=key
+        )
+        ref = _short_ref(q, k, v, seed=seed, rate=rate)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+        gk = jax.grad(
+            lambda q, k, v: (
+                short_causal_attention(
+                    q, k, v, interpret=True, dropout_rate=rate, dropout_key=key
+                ) ** 2
+            ).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        gr = jax.grad(
+            lambda q, k, v: (_short_ref(q, k, v, seed=seed, rate=rate) ** 2).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+    def test_dropout_deterministic_and_key_dependent(self):
+        q, k, v = qkv(2, 64, 16, seed=3)
+        a = short_causal_attention(q, k, v, interpret=True, dropout_rate=0.3,
+                                   dropout_key=jax.random.PRNGKey(1))
+        b = short_causal_attention(q, k, v, interpret=True, dropout_rate=0.3,
+                                   dropout_key=jax.random.PRNGKey(1))
+        c = short_causal_attention(q, k, v, interpret=True, dropout_rate=0.3,
+                                   dropout_key=jax.random.PRNGKey(2))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-3
+
+    def test_cross_matches_dense_sum(self):
+        j, n, t, hs = 3, 2, 64, 16
+        ks = jax.random.split(jax.random.PRNGKey(9), 3)
+        q = jax.random.normal(ks[0], (n, t, hs), jnp.float32)
+        k = jax.random.normal(ks[1], (j, n, t, hs), jnp.float32)
+        v = jax.random.normal(ks[2], (j, n, t, hs), jnp.float32)
+        ref = causal_attention_jnp(q[None], k, v).sum(axis=0)
+        out = short_cross_attention(q, k, v, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_cross_gradients_and_per_stream_dropout(self):
+        j, n, t, hs = 2, 2, 64, 16
+        ks = jax.random.split(jax.random.PRNGKey(13), 3)
+        q = jax.random.normal(ks[0], (n, t, hs), jnp.float32)
+        k = jax.random.normal(ks[1], (j, n, t, hs), jnp.float32)
+        v = jax.random.normal(ks[2], (j, n, t, hs), jnp.float32)
+        key = jax.random.PRNGKey(21)
+        seed = seed_from_key(key)
+        rate = 0.2
+
+        def ref(q, k, v):
+            tot = None
+            for jj in range(k.shape[0]):
+                o = _short_ref(
+                    q, k[jj], v[jj], rate=rate,
+                    stream_seed=seed + (jj + 1) * _STREAM_SEED_STRIDE,
+                )
+                tot = o if tot is None else tot + o
+            return tot
+
+        out = short_cross_attention(
+            q, k, v, interpret=True, dropout_rate=rate, dropout_key=key
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref(q, k, v)), atol=2e-5
+        )
+        gk = jax.grad(
+            lambda q, k, v: (
+                short_cross_attention(
+                    q, k, v, interpret=True, dropout_rate=rate, dropout_key=key
+                ) ** 2
+            ).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        gr = jax.grad(
+            lambda q, k, v: (ref(q, k, v) ** 2).sum(), argnums=(0, 1, 2)
+        )(q, k, v)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+    def test_eligibility_bands(self):
+        mk = lambda t, hs=16: jnp.zeros((2, t, hs))  # noqa: E731
+        assert short_attention_eligible(mk(8), mk(8), mk(8))
+        assert short_attention_eligible(mk(64), mk(64), mk(64))
+        assert short_attention_eligible(mk(72), mk(72), mk(72))
+        assert short_attention_eligible(mk(512), mk(512), mk(512))
+        assert not short_attention_eligible(mk(4), mk(4), mk(4))
+        assert not short_attention_eligible(mk(768), mk(768), mk(768))
+        assert not short_attention_eligible(mk(68), mk(68), mk(68))
+        q = jnp.zeros((2, 64, 16))
+        kv = jnp.zeros((3, 2, 64, 16))
+        assert short_cross_eligible(q, kv, kv)
+        assert not short_cross_eligible(q, jnp.zeros((3, 2, 4, 16)),
+                                        jnp.zeros((3, 2, 4, 16)))
+
+    def test_bf16_io(self):
+        q, k, v = (x.astype(jnp.bfloat16) for x in qkv(2, 64, 64, seed=8))
+        out = short_causal_attention(q, k, v, interpret=True)
+        assert out.dtype == jnp.bfloat16
+        ref = causal_attention_jnp(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out, dtype=np.float32),
+            np.asarray(ref, dtype=np.float32), atol=5e-2,
+        )

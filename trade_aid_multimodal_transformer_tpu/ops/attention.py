@@ -237,11 +237,22 @@ def causal_attention(
     if impl == "jnp":
         return causal_attention_jnp(q, k, v, dropout_rate, dropout_key, train)
     if impl in ("auto", "pallas"):
-        from .pallas_attention import flash_attention_eligible, flash_causal_attention
+        from .pallas_attention import (
+            flash_attention_eligible,
+            flash_causal_attention,
+            short_attention_eligible,
+            short_causal_attention,
+        )
 
+        use_dropout = train and dropout_rate > 0.0
         if flash_attention_eligible(q, k, v) and (impl == "pallas" or _on_tpu()):
-            use_dropout = train and dropout_rate > 0.0
             return flash_causal_attention(
+                q, k, v,
+                dropout_rate=dropout_rate if use_dropout else 0.0,
+                dropout_key=dropout_key if use_dropout else None,
+            )
+        if short_attention_eligible(q, k, v) and _on_tpu():
+            return short_causal_attention(
                 q, k, v,
                 dropout_rate=dropout_rate if use_dropout else 0.0,
                 dropout_key=dropout_key if use_dropout else None,
@@ -274,11 +285,22 @@ def cross_causal_attention(
             q, k, v, mesh, axis, dropout_rate, dropout_key, train, impl
         )
     if impl in ("auto", "pallas"):
-        from .pallas_attention import flash_cross_attention, flash_cross_eligible
+        from .pallas_attention import (
+            flash_cross_attention,
+            flash_cross_eligible,
+            short_cross_attention,
+            short_cross_eligible,
+        )
 
+        use_dropout = train and dropout_rate > 0.0
         if flash_cross_eligible(q, k, v) and (impl == "pallas" or _on_tpu()):
-            use_dropout = train and dropout_rate > 0.0
             return flash_cross_attention(
+                q, k, v,
+                dropout_rate=dropout_rate if use_dropout else 0.0,
+                dropout_key=dropout_key if use_dropout else None,
+            )
+        if short_cross_eligible(q, k, v) and _on_tpu():
+            return short_cross_attention(
                 q, k, v,
                 dropout_rate=dropout_rate if use_dropout else 0.0,
                 dropout_key=dropout_key if use_dropout else None,

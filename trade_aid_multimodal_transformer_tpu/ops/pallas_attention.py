@@ -1060,6 +1060,309 @@ def flash_cross_attention(
     return out.reshape(*lead, t, hs)
 
 
+# --------------------------------------------------- short-context fused kernel
+#
+# Below MIN_FLASH_SEQ_LEN the blockwise kernels lose to the dense core —
+# but the dense core itself is the production bottleneck at short T: XLA
+# expands softmax(QK^T)V fwd+bwd into ~a dozen small sequential fused
+# regions PER LAYER PER DIRECTION (measured: attention is ~3.7 ms of the
+# 11 ms production fwd+bwd at T=64, spread over thousands of ~2 us ops).
+# At short T a whole (T, hs) row — indeed G of them — fits in VMEM, so the
+# entire attention collapses into ONE program: no online softmax, no lse
+# output, and the backward is a SINGLE kernel producing dq/dk/dv together
+# (everything needed is already resident). G batch rows per program
+# amortize the per-program dispatch overhead that makes one-row-per-program
+# kernels slower than dense at these sizes.
+#
+# Dropout follows the house rule (mask on unnormalized exp-scores, softmax
+# denominator unmasked, regenerated — never stored): one (G, T, T) bit
+# tensor per program, seeded by (seed, program id), identical in fwd and
+# bwd. Interpret mode uses hash_keep_mask keyed by the global collapsed row
+# index (the chunk-core convention, ops/attention.py:_chunk_keep_mask).
+
+SHORT_MIN_SEQ_LEN = 8    # sublane alignment
+SHORT_MAX_SEQ_LEN = 512  # above this the blockwise kernels take over anyway
+
+
+def _short_keep_mask(seed, pid, g: int, shape, rate: float, interpret: bool):
+    threshold = np.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
+    if not interpret:
+        pltpu.prng_seed(seed ^ (pid * np.int32(40503)), np.int32(7919))
+        bits = pltpu.prng_random_bits(shape)
+        return pltpu.bitcast(bits, jnp.uint32) >= threshold
+    n_idx = pid * g + jax.lax.broadcasted_iota(jnp.int32, (g, 1, 1), 0)
+    return hash_keep_mask(seed, n_idx, 0, 0, shape, rate)
+
+
+def _short_recompute(q, k, scale: float):
+    """(g, t, t) masked scores -> (p = exp(s - m), l) shared by fwd and bwd.
+
+    One closed-form softmax (no online accumulation): the fwd and bwd call
+    the same expression on the same operands, so the backward's
+    reconstruction is bit-identical to the forward."""
+    g, t, _ = q.shape
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    rows = jax.lax.broadcasted_iota(jnp.int32, (g, t, t), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (g, t, t), 2)
+    s = jnp.where(rows >= cols, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    return p, l
+
+
+def _short_fwd_kernel(
+    q_ref, k_ref, v_ref, seed_ref, o_ref,
+    *, g: int, scale: float, rate: float, interpret: bool,
+):
+    pid = pl.program_id(0)
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    t = q.shape[1]
+    p, l = _short_recompute(q, k, scale)
+    if rate > 0.0:
+        keep = _short_keep_mask(seed_ref[0], pid, g, (g, t, t), rate, interpret)
+        p = jnp.where(keep, p, 0.0)
+    o = jax.lax.dot_general(
+        p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (o / (l * (1.0 - rate))).astype(o_ref.dtype)
+
+
+def _short_bwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, do_ref, seed_ref, dq_ref, dk_ref, dv_ref,
+    *, g: int, scale: float, rate: float, interpret: bool,
+):
+    """dq, dk, dv in ONE program.
+
+    With W = keep .* softmax(s) / (1-rate) (the matrix that multiplied v):
+      dv = W^T do
+      ds = P .* (keep .* (do v^T)/(1-rate) - D),  D = rowsum(do .* o)
+      dq = scale * ds k;   dk = scale * ds^T q
+    (the D trick works because rowsum(dP .* P) over the FULL softmax P
+    equals rowsum(do .* o) — masked entries of s have P-contribution zero.)
+    """
+    pid = pl.program_id(0)
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    o = o_ref[...].astype(jnp.float32)
+    do = do_ref[...].astype(jnp.float32)
+    t = q.shape[1]
+    inv = 1.0 / (1.0 - rate)
+    p, l = _short_recompute(q, k, scale)
+    if rate > 0.0:
+        keep = _short_keep_mask(seed_ref[0], pid, g, (g, t, t), rate, interpret)
+        w = jnp.where(keep, p, 0.0) * (inv / l)
+    else:
+        w = p / l
+    dv = jax.lax.dot_general(  # (g, t_k, hs) = w^T do
+        w, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(  # (g, t, t) = do v^T
+        do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    if rate > 0.0:
+        dp = jnp.where(keep, dp, 0.0) * inv
+    d_cap = jnp.sum(do * o, axis=-1, keepdims=True)  # (g, t, 1)
+    ds = (p / l) * (dp - d_cap)
+    dq = scale * jax.lax.dot_general(
+        ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dk = scale * jax.lax.dot_general(
+        ds, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+
+def _short_pick_g(n: int, t: int, hs: int) -> int:
+    """Largest divisor of n keeping the program's VMEM estimate bounded:
+    ~8 (t, hs) blocks + ~4 (t, t) f32 intermediates per batch row."""
+    budget = 8 * 1024 * 1024
+    per_row = (8 * t * hs + 4 * t * t) * 4
+    for g in (64, 32, 16, 8, 4, 2, 1):
+        if n % g == 0 and g * per_row <= budget:
+            return g
+    return 1
+
+
+def _short_fwd_call(q, k, v, seed, g, rate, interpret):
+    n, t, hs = q.shape
+    kernel = functools.partial(
+        _short_fwd_kernel, g=g, scale=hs ** -0.5, rate=rate,
+        interpret=interpret,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(n // g,),
+        in_specs=[
+            pl.BlockSpec((g, t, hs), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, t, hs), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, t, hs), lambda i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((g, t, hs), lambda i: (i, 0, 0)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n * t * t * hs // 2,
+            bytes_accessed=4 * n * t * hs * 4,
+            transcendentals=n * t * t // 2,
+        ),
+    )(q, k, v, seed)
+
+
+def _short_bwd_call(q, k, v, o, do, seed, g, rate, interpret):
+    n, t, hs = q.shape
+    kernel = functools.partial(
+        _short_bwd_kernel, g=g, scale=hs ** -0.5, rate=rate,
+        interpret=interpret,
+    )
+    spec = pl.BlockSpec((g, t, hs), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        grid=(n // g,),
+        in_specs=[spec, spec, spec, spec, spec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(spec, spec, spec),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * n * t * t * hs // 2,
+            bytes_accessed=8 * n * t * hs * 4,
+            transcendentals=n * t * t // 2,
+        ),
+    )(q, k, v, o, do, seed)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _short3(q, k, v, seed, g, rate, interpret):
+    return _short_fwd_call(q, k, v, seed, g, rate, interpret)
+
+
+def _short3_fwd(q, k, v, seed, g, rate, interpret):
+    out = _short_fwd_call(q, k, v, seed, g, rate, interpret)
+    return out, (q, k, v, out, seed)
+
+
+def _short3_bwd(g, rate, interpret, res, grad):
+    q, k, v, out, seed = res
+    dq, dk, dv = _short_bwd_call(q, k, v, out, grad, seed, g, rate, interpret)
+    return dq, dk, dv, None
+
+
+_short3.defvjp(_short3_fwd, _short3_bwd)
+
+
+def short_attention_eligible(q: jax.Array, k: jax.Array, v: jax.Array) -> bool:
+    """Self-attention layout, sublane-aligned T in the short-context band."""
+    if q.shape != k.shape or q.shape != v.shape or q.ndim < 3:
+        return False
+    t, hs = q.shape[-2], q.shape[-1]
+    if t < SHORT_MIN_SEQ_LEN or t > SHORT_MAX_SEQ_LEN or t % 8 != 0:
+        return False
+    return hs <= 256
+
+
+def short_causal_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    interpret: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Whole-row fused causal attention for short T; leading dims collapse.
+
+    One XLA op forward, one backward (dq+dk+dv in a single kernel) —
+    replacing the ~dozen dense-core regions per direction that dominate the
+    short-T production step. Same contract as flash_causal_attention
+    (in-kernel regenerated dropout; stream is implementation-defined)."""
+    lead = q.shape[:-2]
+    t, hs = q.shape[-2], q.shape[-1]
+    n = 1
+    for d in lead:
+        n *= d
+    g = _short_pick_g(n, t, hs)
+    rate = float(dropout_rate)
+    if rate > 0.0:
+        if dropout_key is None:
+            raise ValueError("dropout_rate > 0 requires dropout_key")
+        seed = seed_from_key(dropout_key)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    q3 = q.reshape(n, t, hs)
+    k3 = k.reshape(n, t, hs)
+    v3 = v.reshape(n, t, hs)
+    out = _short3(q3, k3, v3, seed, g, rate, interpret)
+    return out.reshape(*lead, t, hs)
+
+
+def short_cross_eligible(q: jax.Array, k: jax.Array, v: jax.Array) -> bool:
+    """Cross layout (k/v carry a leading stream axis) in the short-T band."""
+    if k.shape != v.shape or k.ndim != q.ndim + 1 or k.shape[1:] != q.shape:
+        return False
+    if q.ndim < 2:
+        return False
+    t, hs = q.shape[-2], q.shape[-1]
+    if t < SHORT_MIN_SEQ_LEN or t > SHORT_MAX_SEQ_LEN or t % 8 != 0:
+        return False
+    return hs <= 256
+
+
+def short_cross_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    interpret: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Sum over J KV streams of short fused causal attention.
+
+    J short-kernel calls (J <= a few) replace the dense path's per-stream
+    op explosion; per-stream seeds follow the flash-cross convention
+    (seed + (j+1)*_STREAM_SEED_STRIDE)."""
+    rate = float(dropout_rate)
+    if rate > 0.0:
+        if dropout_key is None:
+            raise ValueError("dropout_rate > 0 requires dropout_key")
+        seed = seed_from_key(dropout_key)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    lead = q.shape[:-2]
+    t, hs = q.shape[-2], q.shape[-1]
+    n = 1
+    for d in lead:
+        n *= d
+    g = _short_pick_g(n, t, hs)
+    q3 = q.reshape(n, t, hs)
+    out = None
+    for j in range(k.shape[0]):
+        seed_j = seed + (j + 1) * _STREAM_SEED_STRIDE
+        o = _short3(
+            q3, k[j].reshape(n, t, hs), v[j].reshape(n, t, hs),
+            seed_j, g, rate, interpret,
+        )
+        out = o if out is None else out + o
+    return out.reshape(*lead, t, hs)
+
+
 # ----------------------------------------------------------------- entry points
 
 
