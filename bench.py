@@ -47,6 +47,35 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _backend_watchdog(timeout_s: float = 180.0):
+    """Fail loudly instead of hanging forever if the TPU tunnel is dead.
+
+    Initializing a dead axon/TPU plugin blocks inside C (observed during an
+    outage: jax.devices() never returns, even SIGTERM needs the process
+    group). A daemon timer that hard-exits with a parseable JSON error line
+    keeps the driver's bench step bounded. Disarmed as soon as the backend
+    answers."""
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        if done.wait(timeout_s):
+            return
+        print(json.dumps({
+            "metric": "train_steps_per_sec",
+            "value": None,
+            "unit": "steps/s",
+            "vs_baseline": None,
+            "error": f"backend init exceeded {timeout_s:.0f}s "
+                     "(TPU tunnel unreachable)",
+        }), flush=True)
+        os._exit(3)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done
+
+
 def dsync(x):
     """Force true device completion: device→host copy of one element.
 
@@ -309,7 +338,9 @@ def bench_serve():
 
 
 def main():
+    armed = _backend_watchdog()
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    armed.set()
     trainer, params, opt_state = build_demo_run()
 
     chunk = 512
