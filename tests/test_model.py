@@ -153,6 +153,7 @@ class TestGenerate:
         assert np.all(np.asarray(out[0][:, :4]) == 0)
         assert int(np.asarray(out[0]).max()) < 19
 
+    @pytest.mark.slow
     def test_generated_tokens_within_vocab(self, cfg, params):
         idx = [jnp.ones((1, 2), jnp.int32), jnp.ones((1, 2), jnp.int32)]
         out = generate(params, cfg, idx, jax.random.PRNGKey(1), max_new_tokens=5,

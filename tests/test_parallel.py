@@ -73,6 +73,7 @@ def devices():
 
 
 class TestShardMapDP:
+    @pytest.mark.slow  # TestShardedTrainerEquivalence keeps default-tier DP coverage
     def test_matches_manual_per_device_replication(self, devices):
         """The explicit shard_map+psum step must equal running each device's
         sub-batch sequentially on one device and averaging the gradients —

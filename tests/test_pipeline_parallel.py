@@ -78,6 +78,7 @@ class TestPipelineEquivalence:
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
             )
 
+    @pytest.mark.slow
     def test_train_step_with_dropout_runs(self, cfg, params):
         """Dropout keys are per-(layer, microbatch) — a different stream than
         the sequential KeyGen (same distribution); pin that a full grad step
@@ -91,6 +92,7 @@ class TestPipelineEquivalence:
         )(params)
         assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(g))
 
+    @pytest.mark.slow
     def test_composes_with_data_axis(self, cfg, params):
         """pipe x data mesh: microbatch batch dim shards over 'data'."""
         devs = jax.devices()

@@ -102,6 +102,7 @@ class TestRingDropout:
     the flash kernels (denominator unmasked), deterministic per key, and the
     backward regenerates the forward's masks (finite, nonzero grads)."""
 
+    @pytest.mark.slow  # 3 mesh sizes x ~75 s; grads tests keep default-tier dropout coverage
     def test_deterministic_and_distinct_streams(self, mesh):
         from trade_aid_multimodal_transformer_tpu.parallel.ring_attention import (
             ring_causal_attention_local,

@@ -315,6 +315,7 @@ class TestScanUnroll:
     """tpu_options.scan_unroll is a pure performance knob — the unrolled
     chunk must produce the identical trajectory."""
 
+    @pytest.mark.slow
     def test_unrolled_chunk_identical(self, setup):
         cfg, feed, trainer, params, opt = setup
         p1, o1, l1 = trainer.train_chunk(

@@ -44,7 +44,9 @@ def main():
     print(f"backend={jax.default_backend()} shape=(B={args.batch},H={args.heads},"
           f"T,hs={args.hs}) dtype={args.dtype}")
     print(f"{'T':>6} {'dense ms':>10} {'flash ms':>10} {'ratio':>7}")
-    for t in (256, 512, 1024, 2048, 4096, 8192):
+    # 64/128 exercise the short-context whole-row kernel; >=256 the
+    # blockwise flash kernels (ops/pallas_attention.py dispatch bands)
+    for t in (64, 128, 256, 512, 1024, 2048, 4096, 8192):
         ks = jax.random.split(jax.random.PRNGKey(0), 3)
         q, k, v = (jax.random.normal(s, (args.batch, args.heads, t, args.hs), dt)
                    for s in ks)
