@@ -661,3 +661,131 @@ class TestShortKernel:
             np.asarray(out, dtype=np.float32),
             np.asarray(ref, dtype=np.float32), atol=5e-2,
         )
+
+
+# ------------------------------------------------------------- decode kernel
+
+
+from trade_aid_multimodal_transformer_tpu.models.cache import _attn_cached  # noqa: E402
+from trade_aid_multimodal_transformer_tpu.ops.pallas_attention import (  # noqa: E402
+    decode_attention,
+    decode_attention_eligible,
+)
+
+
+class TestDecodeKernel:
+    """Fused single-position cached-decode attention vs the dense masked
+    expression it replaces (models/cache._attn_cached, t_new=1)."""
+
+    @pytest.mark.parametrize("pos", [0, 1, 37, 63])
+    def test_matches_dense_cached(self, pos):
+        n, s, hs = 6, 64, 16
+        ks = jax.random.split(jax.random.PRNGKey(pos + 1), 3)
+        q = jax.random.normal(ks[0], (2, 3, 1, hs), jnp.float32)
+        kc = jax.random.normal(ks[1], (2, 3, s, hs), jnp.float32)
+        vc = jax.random.normal(ks[2], (2, 3, s, hs), jnp.float32)
+        ref = _attn_cached(q, kc, vc, jnp.asarray(pos), 1)
+        out = decode_attention(q, kc, vc, jnp.asarray(pos), interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_cross_broadcast_layout(self):
+        j, b, h, s, hs = 3, 2, 2, 128, 16
+        ks = jax.random.split(jax.random.PRNGKey(9), 3)
+        q = jax.random.normal(ks[0], (1, b, h, 1, hs), jnp.float32)
+        kc = jax.random.normal(ks[1], (j, b, h, s, hs), jnp.float32)
+        vc = jax.random.normal(ks[2], (j, b, h, s, hs), jnp.float32)
+        pos = jnp.asarray(41)
+        ref = _attn_cached(q, kc, vc, pos, 1).sum(axis=0)
+        qb = jnp.broadcast_to(q, kc.shape[:-2] + q.shape[-2:])
+        out = decode_attention(qb, kc, vc, pos, interpret=True).sum(axis=0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_traced_pos_under_scan(self):
+        n, s, hs = 4, 64, 8
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        q = jax.random.normal(ks[0], (n, 1, hs), jnp.float32)
+        kc = jax.random.normal(ks[1], (n, s, hs), jnp.float32)
+        vc = jax.random.normal(ks[2], (n, s, hs), jnp.float32)
+
+        def body(pos, _):
+            return pos + 1, decode_attention(q, kc, vc, pos, interpret=True)
+
+        _, outs = jax.lax.scan(body, jnp.asarray(0), None, length=4)
+        for i in range(4):
+            ref = _attn_cached(q, kc, vc, jnp.asarray(i), 1)
+            np.testing.assert_allclose(
+                np.asarray(outs[i]), np.asarray(ref), atol=2e-5
+            )
+
+    def test_bf16_matches_dense_cached(self):
+        s, hs = 64, 64
+        ks = jax.random.split(jax.random.PRNGKey(7), 3)
+        q = jax.random.normal(ks[0], (2, 2, 1, hs), jnp.bfloat16)
+        kc = jax.random.normal(ks[1], (2, 2, s, hs), jnp.bfloat16)
+        vc = jax.random.normal(ks[2], (2, 2, s, hs), jnp.bfloat16)
+        pos = jnp.asarray(50)
+        ref = _attn_cached(q, kc, vc, pos, 1)
+        out = decode_attention(q, kc, vc, pos, interpret=True)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
+        )
+
+    def test_eligibility(self):
+        q = jnp.zeros((2, 1, 16))
+        k = jnp.zeros((2, 64, 16))
+        assert decode_attention_eligible(q, k)
+        assert not decode_attention_eligible(jnp.zeros((2, 2, 16)), k)
+        assert not decode_attention_eligible(q, jnp.zeros((2, 63, 16)))
+        assert not decode_attention_eligible(q, jnp.zeros((3, 64, 16)))
+
+
+class TestTPULowering:
+    """Cross-platform AOT lowering to the TPU target (on CPU): pallas
+    kernels run their full Mosaic lowering during jit(...).lower(), so
+    unsupported ops (dot_general shapes, PRNG forms, layouts) surface here
+    without TPU hardware. This is the compile-risk guard for the driver's
+    on-TPU entry() check."""
+
+    def test_all_kernels_lower_for_tpu(self):
+        key = jax.random.PRNGKey(0)
+        q = jnp.zeros((48, 64, 64), jnp.bfloat16)
+
+        def short_fwdbwd(q, k, v):
+            return jax.grad(
+                lambda a, b, c: short_causal_attention(
+                    a, b, c, dropout_rate=0.2, dropout_key=key
+                ).astype(jnp.float32).sum(),
+                argnums=(0, 1, 2),
+            )(q, k, v)
+
+        jax.jit(short_fwdbwd).trace(q, q, q).lower(lowering_platforms=("tpu",))
+
+        kc = jnp.zeros((2, 48, 64, 64), jnp.bfloat16)
+
+        def cross_fwdbwd(q, k, v):
+            return jax.grad(
+                lambda a, b, c: short_cross_attention(
+                    a, b, c, dropout_rate=0.2, dropout_key=key
+                ).astype(jnp.float32).sum(),
+                argnums=(0, 1, 2),
+            )(q, k, v)
+
+        jax.jit(cross_fwdbwd).trace(q, kc, kc).lower(lowering_platforms=("tpu",))
+
+        qd = jnp.zeros((48, 1, 64), jnp.bfloat16)
+        cache = jnp.zeros((48, 1024, 64), jnp.bfloat16)
+        jax.jit(
+            lambda q, k, v: decode_attention(q, k, v, jnp.asarray(7))
+        ).trace(qd, cache, cache).lower(lowering_platforms=("tpu",))
+
+        def flash_fwdbwd(q, k, v):
+            return jax.grad(
+                lambda a, b, c: flash_causal_attention(
+                    a, b, c, dropout_rate=0.2, dropout_key=key
+                ).astype(jnp.float32).sum(),
+                argnums=(0, 1, 2),
+            )(q, k, v)
+
+        qf = jnp.zeros((4, 512, 64), jnp.bfloat16)
+        jax.jit(flash_fwdbwd).trace(qf, qf, qf).lower(lowering_platforms=("tpu",))

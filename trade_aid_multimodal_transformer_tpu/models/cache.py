@@ -94,7 +94,21 @@ def _attn_cached(q, kc, vc, start, t_new: int):
     their zero contents never contribute (exp(-inf) == 0 exactly). Numerics
     mirror ops.attention.causal_attention_jnp: f32 scores/softmax, weighted
     sum accumulated in f32, result in the activation dtype.
+
+    Single-position decode (t_new == 1) on TPU runs as ONE fused Pallas op
+    (ops/pallas_attention.decode_attention) — the dense expression below
+    costs ~10 dispatch-bound XLA regions per layer inside the serving scan.
     """
+    if t_new == 1:
+        from ..ops.attention import _on_tpu
+        from ..ops.pallas_attention import (
+            decode_attention,
+            decode_attention_eligible,
+        )
+
+        qb = jnp.broadcast_to(q, kc.shape[:-2] + q.shape[-2:])
+        if decode_attention_eligible(qb, kc) and _on_tpu():
+            return decode_attention(qb, kc, vc, start)
     dt = q.dtype
     acc = jnp.float32
     scale = q.shape[-1] ** -0.5

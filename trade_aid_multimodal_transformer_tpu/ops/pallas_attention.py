@@ -1363,6 +1363,96 @@ def short_cross_attention(
     return out.reshape(*lead, t, hs)
 
 
+# --------------------------------------------------------- decode (serving)
+#
+# KV-cached decode is one query position against an (S, hs) cache row with
+# a visibility band col <= pos. The dense expression costs ~10 XLA regions
+# per layer per generated token — dispatch-bound inside the serving scan.
+# This kernel fuses score/mask/softmax/PV into ONE op, G collapsed rows per
+# program. Forward-only (inference path, never differentiated); numerics
+# mirror models/cache._attn_cached (f32 scores+softmax, probabilities cast
+# to the activation dtype before PV, f32 accumulation).
+
+
+def _decode_kernel(q_ref, k_ref, v_ref, pos_ref, o_ref, *, g: int, scale: float):
+    # the t=1 query axis stays: Mosaic's dot_general needs a non-contracting
+    # lhs dim alongside the batch dim
+    q = q_ref[...].astype(jnp.float32)   # (g, 1, hs)
+    k = k_ref[...].astype(jnp.float32)   # (g, S, hs)
+    s_len = k.shape[1]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale                            # (g, 1, S)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (g, 1, s_len), 2)
+    s = jnp.where(cols <= pos_ref[0], s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    w = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v_ref.dtype)
+    out = jax.lax.dot_general(
+        w, v_ref[...], dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                    # (g, 1, hs)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def decode_attention_eligible(q: jax.Array, k: jax.Array) -> bool:
+    """One new query position against a cache row: q (..., 1, hs),
+    k (..., S, hs) with matching leading dims (broadcast them first)."""
+    if q.ndim != k.ndim or q.ndim < 3 or q.shape[-2] != 1:
+        return False
+    if q.shape[:-2] != k.shape[:-2] or q.shape[-1] != k.shape[-1]:
+        return False
+    return q.shape[-1] <= 256 and k.shape[-2] % 8 == 0
+
+
+def decode_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, pos, interpret: bool = False
+) -> jax.Array:
+    """Fused single-position cached-decode attention.
+
+    q: (..., 1, hs); k, v: (..., S, hs); cache column j visible iff
+    j <= pos (a traced scalar). Returns (..., 1, hs) in q.dtype."""
+    lead = q.shape[:-2]
+    hs = q.shape[-1]
+    s_len = k.shape[-2]
+    n = 1
+    for d in lead:
+        n *= d
+    q3 = q.reshape(n, 1, hs)
+    k3 = k.reshape(n, s_len, hs)
+    v3 = v.reshape(n, s_len, hs)
+    # g rows per program, bounded by the K+V VMEM footprint
+    budget = 6 * 1024 * 1024
+    per_row = 2 * s_len * hs * k3.dtype.itemsize + 4 * s_len * 4
+    g = 1
+    for cand in (64, 32, 16, 8, 4, 2, 1):
+        if n % cand == 0 and cand * per_row <= budget:
+            g = cand
+            break
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    kernel = functools.partial(_decode_kernel, g=g, scale=hs ** -0.5)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, 1, hs), q.dtype),
+        grid=(n // g,),
+        in_specs=[
+            pl.BlockSpec((g, 1, hs), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, s_len, hs), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, s_len, hs), lambda i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((g, 1, hs), lambda i: (i, 0, 0)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n * s_len * hs,
+            bytes_accessed=2 * n * s_len * hs * k3.dtype.itemsize,
+            transcendentals=n * s_len,
+        ),
+    )(q3, k3, v3, pos_arr)
+    return out.reshape(*lead, 1, hs)
+
+
 # ----------------------------------------------------------------- entry points
 
 
