@@ -9,14 +9,16 @@ This module owns the score/softmax/weighted-sum core:
     aff = q @ k^T * head_size**-0.5 ; causal mask ; softmax ;
     dropout(aff) ; aff @ v                     (reference: model.py:60-73)
 
-Two interchangeable implementations:
-- ``jnp``: dense reference implementation (used for training with attention
-  dropout, and as the numerical oracle in kernel equivalence tests)
-- ``pallas``: blockwise flash-attention TPU kernel (ops/pallas_attention.py)
-  that never materializes the (T, T) affinity matrix in HBM.
+Interchangeable implementations:
+- ``jnp``: dense reference implementation (the numerical oracle in kernel
+  equivalence tests, and the core everywhere off-TPU)
+- ``pallas`` (ops/pallas_attention.py), two regimes: the whole-row
+  short-context kernel for 8 <= T <= 512 (one fwd op, one dq+dk+dv bwd op)
+  and the blockwise flash kernels at longer T that never materialize the
+  (T, T) affinity matrix in HBM. Both run attention dropout in-kernel.
 
-Dispatch: ``impl='auto'`` picks the Pallas kernel on TPU when shapes are
-kernel-eligible, else jnp.
+Dispatch: ``impl='auto'`` picks a Pallas kernel on TPU when shapes are
+kernel-eligible (flash first, then short), else jnp.
 """
 
 from __future__ import annotations
