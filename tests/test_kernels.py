@@ -789,3 +789,30 @@ class TestTPULowering:
 
         qf = jnp.zeros((4, 512, 64), jnp.bfloat16)
         jax.jit(flash_fwdbwd).trace(qf, qf, qf).lower(lowering_platforms=("tpu",))
+
+
+class TestKernelUnderPjit:
+    """A pallas_call inside a compiler-partitioned (GSPMD) computation:
+    XLA cannot shard a custom call, so it replicates operands around it —
+    correct, if not bandwidth-optimal (the shard_map paths are the
+    production-sharded route). This pins the correctness half on the
+    8-device CPU mesh."""
+
+    def test_short_kernel_replicated_under_pjit(self):
+        import numpy as np_
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs the 8-device virtual CPU mesh")
+        mesh = Mesh(np_.array(devs[:8]).reshape(4, 2), ("data", "model"))
+        q = jax.random.normal(jax.random.PRNGKey(0), (8, 6, 64, 16), jnp.float32)
+        sh = NamedSharding(mesh, P("data", "model", None, None))
+        qs = jax.device_put(q, sh)
+        f = jax.jit(
+            lambda q, k, v: short_causal_attention(q, k, v, interpret=True),
+            in_shardings=(sh, sh, sh), out_shardings=sh,
+        )
+        out = f(qs, qs, qs)
+        ref = causal_attention_jnp(q, q, q)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
