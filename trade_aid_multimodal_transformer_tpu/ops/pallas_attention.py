@@ -1376,14 +1376,18 @@ def short_cross_attention(
 
 def _decode_kernel(q_ref, k_ref, v_ref, pos_ref, o_ref, *, g: int, scale: float):
     # the t=1 query axis stays: Mosaic's dot_general needs a non-contracting
-    # lhs dim alongside the batch dim
-    q = q_ref[...].astype(jnp.float32)   # (g, 1, hs)
-    k = k_ref[...].astype(jnp.float32)   # (g, S, hs)
+    # lhs dim alongside the batch dim. K is NOT upcast to f32 here — the dot
+    # accumulates in f32 via preferred_element_type, which matches the dense
+    # cached path's arithmetic under TPU default matmul precision while
+    # avoiding a (g, S, hs) f32 copy in VMEM (at S=1024/g=16 that copy alone
+    # is 4 MB and pushed the program over the 16 MB scoped-VMEM limit).
+    q = q_ref[...]                       # (g, 1, hs)
+    k = k_ref[...]                       # (g, S, hs)
     s_len = k.shape[1]
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * scale                            # (g, 1, S)
+    ).astype(jnp.float32) * scale        # (g, 1, S)
     cols = jax.lax.broadcasted_iota(jnp.int32, (g, 1, s_len), 2)
     s = jnp.where(cols <= pos_ref[0], s, _NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -1422,9 +1426,14 @@ def decode_attention(
     q3 = q.reshape(n, 1, hs)
     k3 = k.reshape(n, s_len, hs)
     v3 = v.reshape(n, s_len, hs)
-    # g rows per program, bounded by the K+V VMEM footprint
-    budget = 6 * 1024 * 1024
-    per_row = 2 * s_len * hs * k3.dtype.itemsize + 4 * s_len * 4
+    # g rows per program, bounded by the K+V VMEM footprint. The K and V
+    # blocks are DOUBLE-BUFFERED by the pipeline (x2), and the softmax
+    # intermediates (scores/iota/probabilities, f32) add ~16*S bytes/row;
+    # budget against the 16 MB scoped-VMEM limit with ~50% headroom for
+    # compiler scratch (an earlier 6 MB single-buffer budget compiled to a
+    # 16.03 MB scoped allocation at S=1024/bf16/g=16 and was rejected).
+    budget = 8 * 1024 * 1024
+    per_row = 2 * 2 * s_len * hs * k3.dtype.itemsize + 16 * s_len
     g = 1
     for cand in (64, 32, 16, 8, 4, 2, 1):
         if n % cand == 0 and cand * per_row <= budget:
