@@ -18,7 +18,9 @@ Interchangeable implementations:
   (T, T) affinity matrix in HBM. Both run attention dropout in-kernel.
 
 Dispatch: ``impl='auto'`` picks a Pallas kernel on TPU when shapes are
-kernel-eligible (flash first, then short), else jnp.
+kernel-eligible — the short whole-row kernel wherever it applies (it wins
+the 256-512 overlap band in-model by 45-58%), the blockwise flash kernels
+above it — else jnp.
 """
 
 from __future__ import annotations
@@ -247,14 +249,20 @@ def causal_attention(
         )
 
         use_dropout = train and dropout_rate > 0.0
-        if flash_attention_eligible(q, k, v) and (impl == "pallas" or _on_tpu()):
-            return flash_causal_attention(
+        # Short whole-row kernel FIRST where both are eligible (256 <= T <=
+        # 512): in-model it beats the blockwise kernels by 45-58% there
+        # (production config, B=16: 40.5 vs 25.7 steps/s at T=256, 15.9 vs
+        # 11.0 at T=512) — one program computes the closed-form softmax with
+        # no online-accumulation bookkeeping at sizes where whole rows fit
+        # in VMEM.
+        if short_attention_eligible(q, k, v) and _on_tpu():
+            return short_causal_attention(
                 q, k, v,
                 dropout_rate=dropout_rate if use_dropout else 0.0,
                 dropout_key=dropout_key if use_dropout else None,
             )
-        if short_attention_eligible(q, k, v) and _on_tpu():
-            return short_causal_attention(
+        if flash_attention_eligible(q, k, v) and (impl == "pallas" or _on_tpu()):
+            return flash_causal_attention(
                 q, k, v,
                 dropout_rate=dropout_rate if use_dropout else 0.0,
                 dropout_key=dropout_key if use_dropout else None,
@@ -295,14 +303,15 @@ def cross_causal_attention(
         )
 
         use_dropout = train and dropout_rate > 0.0
-        if flash_cross_eligible(q, k, v) and (impl == "pallas" or _on_tpu()):
-            return flash_cross_attention(
+        # short before flash where both are eligible — see causal_attention
+        if short_cross_eligible(q, k, v) and _on_tpu():
+            return short_cross_attention(
                 q, k, v,
                 dropout_rate=dropout_rate if use_dropout else 0.0,
                 dropout_key=dropout_key if use_dropout else None,
             )
-        if short_cross_eligible(q, k, v) and _on_tpu():
-            return short_cross_attention(
+        if flash_cross_eligible(q, k, v) and (impl == "pallas" or _on_tpu()):
+            return flash_cross_attention(
                 q, k, v,
                 dropout_rate=dropout_rate if use_dropout else 0.0,
                 dropout_key=dropout_key if use_dropout else None,
