@@ -68,7 +68,12 @@ def _pick_block(t: int, target: int) -> int:
     return b
 
 
-MIN_FLASH_SEQ_LEN = 256  # below this the dense core is faster (tiny matmuls)
+# Floor for the BLOCKWISE kernels: below this the (T/block)² grid degenerates
+# and per-program overhead dominates the tiny matmuls. The short whole-row
+# kernel owns 8..512 (dispatch tries it first); scan-amortized standalone
+# timing shows dense/flash parity at 256..1024 and decisive flash wins from
+# 2048 (tools/flash_crossover.py).
+MIN_FLASH_SEQ_LEN = 256
 
 
 def seed_from_key(key: jax.Array) -> jax.Array:
