@@ -490,6 +490,7 @@ from trade_aid_multimodal_transformer_tpu.ops.pallas_attention import (  # noqa:
     seed_from_key,
     short_attention_eligible,
     short_causal_attention,
+    short_causal_attention_packed,
     short_cross_attention,
     short_cross_eligible,
     _STREAM_SEED_STRIDE,
@@ -662,6 +663,69 @@ class TestShortKernel:
             np.asarray(ref, dtype=np.float32), atol=5e-2,
         )
 
+    def test_packed_matches_dense(self):
+        M, B, H, t, hs = 2, 2, 3, 64, 16
+        qkv_p = jax.random.normal(
+            jax.random.PRNGKey(17), (M, B, 3 * H, t, hs), jnp.float32
+        )
+        q, k, v = qkv_p[:, :, :H], qkv_p[:, :, H:2 * H], qkv_p[:, :, 2 * H:]
+        ref = causal_attention_jnp(q, k, v)
+        out = short_causal_attention_packed(qkv_p, H, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_packed_dropout_fwd_and_grad_match_reference(self):
+        """Packed kernel vs the jnp mirror with the SAME global-row hash
+        mask (packed programs tile collapsed (m,b,h) rows contiguously, so
+        interpret-mode keying matches _short_ref's)."""
+        M, B, H, t, hs = 2, 2, 2, 64, 16
+        qkv_p = jax.random.normal(
+            jax.random.PRNGKey(19), (M, B, 3 * H, t, hs), jnp.float32
+        )
+        key = jax.random.PRNGKey(4)
+        seed = seed_from_key(key)
+        rate = 0.25
+
+        def ref(qkv_p):
+            q = qkv_p[:, :, :H].reshape(M * B * H, t, hs)
+            k = qkv_p[:, :, H:2 * H].reshape(M * B * H, t, hs)
+            v = qkv_p[:, :, 2 * H:].reshape(M * B * H, t, hs)
+            return _short_ref(q, k, v, seed=seed, rate=rate).reshape(
+                M, B, H, t, hs
+            )
+
+        out = short_causal_attention_packed(
+            qkv_p, H, interpret=True, dropout_rate=rate, dropout_key=key
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref(qkv_p)), atol=2e-5
+        )
+        gk = jax.grad(
+            lambda x: (
+                short_causal_attention_packed(
+                    x, H, interpret=True, dropout_rate=rate, dropout_key=key
+                ) ** 2
+            ).sum()
+        )(qkv_p)
+        gr = jax.grad(lambda x: (ref(x) ** 2).sum())(qkv_p)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=5e-4)
+
+    def test_packed_dispatch_fallback_matches(self):
+        """causal_attention_packed off-TPU splits and reuses the standard
+        dispatch — values must equal attention on the split views."""
+        from trade_aid_multimodal_transformer_tpu.ops.attention import (
+            causal_attention, causal_attention_packed,
+        )
+
+        M, B, H, t, hs = 2, 2, 2, 64, 16
+        qkv_p = jax.random.normal(
+            jax.random.PRNGKey(23), (M, B, 3 * H, t, hs), jnp.float32
+        )
+        out = causal_attention_packed(qkv_p, H)
+        ref = causal_attention(
+            qkv_p[:, :, :H], qkv_p[:, :, H:2 * H], qkv_p[:, :, 2 * H:]
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
 
 # ------------------------------------------------------------- decode kernel
 
@@ -789,6 +853,17 @@ class TestTPULowering:
 
         qf = jnp.zeros((4, 512, 64), jnp.bfloat16)
         jax.jit(flash_fwdbwd).trace(qf, qf, qf).lower(lowering_platforms=("tpu",))
+
+        qkv_p = jnp.zeros((8, 18, 64, 64), jnp.bfloat16)  # (M·B, 3H, T, hs)
+
+        def packed_fwdbwd(x):
+            return jax.grad(
+                lambda a: short_causal_attention_packed(
+                    a, 6, dropout_rate=0.2, dropout_key=key
+                ).astype(jnp.float32).sum()
+            )(x)
+
+        jax.jit(packed_fwdbwd).trace(qkv_p).lower(lowering_platforms=("tpu",))
 
 
 class TestKernelUnderPjit:

@@ -34,7 +34,12 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import causal_attention, cross_causal_attention
+from ..ops.attention import (
+    causal_attention,
+    causal_attention_packed,
+    cross_causal_attention,
+    packed_attention_active,
+)
 from ..ops.layers import KeyGen, dropout, layernorm
 from .config import ModelConfig
 
@@ -89,6 +94,23 @@ def _qkv_project_fused(h: jax.Array, sa, H: int, hs2: int):
     return out[0], out[1], out[2]
 
 
+def _qkv_project_packed(h: jax.Array, sa, H: int, hs2: int) -> jax.Array:
+    """Fused q/k/v projection emitting the PACKED (M, B, 3H, T, hs) layout.
+
+    Treats the three projections as 3H "virtual heads" so the second matmul
+    is a standard 5D batched einsum (the (3, M, ...) stacked form lowers to
+    a 6D dot whose fwd+bwd layout copies measured ~0.7 ms/step on the
+    production config). The packed output feeds the packed short kernel
+    directly — no unstack, and the kernel's backward returns d(qkv) packed."""
+    M, B, T, _ = h.shape
+    w1 = jnp.concatenate([sa["w1_q"], sa["w1_k"], sa["w1_v"]], axis=-1)
+    b1 = jnp.concatenate([sa["b1_q"], sa["b1_k"], sa["b1_v"]], axis=-1)
+    t = _mm("mbtc,mcd->mbtd", h, w1) + b1.astype(h.dtype)[:, None, None, :]
+    t = jnp.tanh(t).reshape(M, B, T, 3 * H, hs2)
+    w2 = jnp.concatenate([sa["w2_q"], sa["w2_k"], sa["w2_v"]], axis=1)
+    return _mm("mbthd,mhde->mbhte", t, w2)  # (M, B, 3H, T, hs)
+
+
 def _proj_mlp(out: jax.Array, w1, b1, w2, b2) -> jax.Array:
     """tanh-MLP output projection, broadcasting over stacked leading dims."""
     dt = out.dtype
@@ -131,18 +153,30 @@ def self_attention(
     H, hs = cfg.n_head, cfg.head_size
     hs2 = hs // 2
 
-    # measured on v5e (production config): fused 10.76 vs split 11.20 ms
-    # fwd+bwd; batching the three projections wins despite the layout copy
-    # the stacked-w2 einsum introduces
-    q, k, v = _qkv_project_fused(x_norm, sa, H, hs2)
+    if packed_attention_active(T, hs, cfg.attn_impl):
+        # short-T TPU path: packed projection -> packed kernel, one operand
+        # each direction (see _qkv_project_packed)
+        qkv = _qkv_project_packed(x_norm, sa, H, hs2)
+        att = causal_attention_packed(
+            qkv, H,
+            dropout_rate=cfg.dropout,
+            dropout_key=keys(),
+            train=train,
+            impl=cfg.attn_impl,
+        )  # (M, B, H, T, hs)
+    else:
+        # measured on v5e (production config): fused 10.76 vs split 11.20 ms
+        # fwd+bwd; batching the three projections wins despite the layout
+        # copy the stacked-w2 einsum introduces
+        q, k, v = _qkv_project_fused(x_norm, sa, H, hs2)
 
-    att = causal_attention(
-        q, k, v,
-        dropout_rate=cfg.dropout,
-        dropout_key=keys(),
-        train=train,
-        impl=cfg.attn_impl,
-    )  # (M, B, H, T, hs)
+        att = causal_attention(
+            q, k, v,
+            dropout_rate=cfg.dropout,
+            dropout_key=keys(),
+            train=train,
+            impl=cfg.attn_impl,
+        )  # (M, B, H, T, hs)
 
     out = _proj_mlp_heads(
         att, sa["proj_w1"], sa["proj_b1"], sa["proj_w2"], sa["proj_b2"], H, hs
@@ -245,6 +279,40 @@ def block_forward(
     return x
 
 
+@jax.custom_vjp
+def _embed_lookup(tab: jax.Array, idx: jax.Array) -> jax.Array:
+    """Batched table lookup with a MATMUL backward.
+
+    Forward is the natural batched gather. The autodiff backward of a gather
+    is a scatter-add into the (M, Vp, C) table — measured ~102 us/step on
+    the production config (v5e), vs ~30 us for the algebraically identical
+    one-hot contraction dTab = Σ_bt onehot ⊗ dx, which runs on the MXU.
+    Every product is exact (×1 or ×0, f32 accumulation), so gradients equal
+    the scatter up to summation order."""
+    return jax.vmap(lambda t, i: t[i])(tab, idx)
+
+
+def _embed_lookup_fwd(tab, idx):
+    # tab rides the residuals only for its shape/dtype (it is a live
+    # parameter — no extra memory)
+    return _embed_lookup(tab, idx), (idx, tab)
+
+
+def _embed_lookup_bwd(res, g):
+    idx, tab = res
+    tab_dtype = tab.dtype
+    Vp = tab.shape[-2]
+    onehot = (idx[..., None] == jnp.arange(Vp, dtype=idx.dtype)).astype(g.dtype)
+    acc = jnp.float64 if g.dtype == jnp.float64 else jnp.float32
+    dtab = jnp.einsum(
+        "mbtv,mbtc->mvc", onehot, g, preferred_element_type=acc
+    ).astype(tab_dtype)
+    return dtab, None
+
+
+_embed_lookup.defvjp(_embed_lookup_fwd, _embed_lookup_bwd)
+
+
 def embed(params: Dict[str, Any], cfg: ModelConfig, idx: jax.Array) -> jax.Array:
     """Token + shared positional embedding (reference: model.py:285-319).
 
@@ -257,10 +325,12 @@ def embed(params: Dict[str, Any], cfg: ModelConfig, idx: jax.Array) -> jax.Array
     # pad the ragged per-modality tables to one (M, Vp, C) buffer so the
     # lookup is ONE batched gather instead of M gathers + a stack
     tab = jnp.stack([jnp.pad(t, ((0, Vp - t.shape[0]), (0, 0))) for t in tabs])
-    x = jax.vmap(lambda t, i: t[i])(tab, idx) + pos
     if cfg.compute_dtype == "bfloat16":
-        x = x.astype(jnp.bfloat16)
-    return x
+        # cast table+pos BEFORE the lookup: the gather output (M,B,T,C) is
+        # the largest embed buffer, and bf16 halves its HBM write/read
+        tab = tab.astype(jnp.bfloat16)
+        pos = pos.astype(jnp.bfloat16)
+    return _embed_lookup(tab, idx) + pos
 
 
 _HEAD_PAD_NEG = -1e30  # padded-class logit; exp(-1e30 - max) underflows to 0.0
@@ -344,7 +414,14 @@ def cross_entropy_padded(logits_pad: jax.Array, targets: jax.Array) -> jax.Array
     probability mass); targets: (M, B, T) < real vocab size. Returns (M,).
     """
     logp = jax.nn.log_softmax(logits_pad, axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    # one-hot select + reduce instead of take_along_axis: a last-axis gather
+    # of single elements is lane-hostile on TPU (measured 120 us/step on the
+    # production config vs ~25 us for the select-reduce, which fuses with
+    # the log_softmax read). where(==) picks exactly one element per row, so
+    # the result is bit-identical to the gather in every dtype.
+    Vp = logp.shape[-1]
+    onehot = targets[..., None] == jnp.arange(Vp, dtype=targets.dtype)
+    nll = -jnp.sum(jnp.where(onehot, logp, jnp.zeros((), logp.dtype)), axis=-1)
     return nll.mean(axis=(1, 2))
 
 

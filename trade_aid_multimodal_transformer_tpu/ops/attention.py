@@ -271,6 +271,47 @@ def causal_attention(
     raise ValueError(f"Unknown attention impl: {impl}")
 
 
+def packed_attention_active(t: int, hs: int, impl: str = "auto") -> bool:
+    """True when self-attention will take the PACKED short kernel — the
+    model uses this (trace-time) to emit the packed (M, B, 3H, T, hs)
+    projection instead of the stacked (3, M, B, H, T, hs) one."""
+    if impl not in ("auto", "pallas") or _CP_SCOPE is not None or not _on_tpu():
+        return False
+    from .pallas_attention import short_packed_eligible
+
+    return short_packed_eligible(t, hs)
+
+
+def causal_attention_packed(
+    qkv: jax.Array,
+    n_head: int,
+    dropout_rate: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
+    train: bool = False,
+    impl: str = "auto",
+) -> jax.Array:
+    """Causal self-attention over packed (..., 3H, T, hs) q/k/v head groups.
+
+    On TPU in the short-T band this is ONE kernel operand in, one packed
+    gradient out (ops/pallas_attention.short_causal_attention_packed);
+    elsewhere it splits the packed axis and reuses ``causal_attention``."""
+    H = n_head
+    t, hs = qkv.shape[-2], qkv.shape[-1]
+    if packed_attention_active(t, hs, impl):
+        from .pallas_attention import short_causal_attention_packed
+
+        use_dropout = train and dropout_rate > 0.0
+        return short_causal_attention_packed(
+            qkv, H,
+            dropout_rate=dropout_rate if use_dropout else 0.0,
+            dropout_key=dropout_key if use_dropout else None,
+        )
+    q = qkv[..., :H, :, :]
+    k = qkv[..., H:2 * H, :, :]
+    v = qkv[..., 2 * H:, :, :]
+    return causal_attention(q, k, v, dropout_rate, dropout_key, train, impl)
+
+
 def cross_causal_attention(
     q: jax.Array,
     k: jax.Array,

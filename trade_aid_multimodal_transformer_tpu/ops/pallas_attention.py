@@ -1318,6 +1318,374 @@ def short_causal_attention(
     return out.reshape(*lead, t, hs)
 
 
+def _short_cross_fwd_kernel(
+    q_ref, k_ref, v_ref, seed_ref, o_ref,
+    *, g: int, scale: float, rate: float, interpret: bool,
+):
+    """One KV stream's whole-row attention, SUMMED into the output block.
+
+    Grid (n//g, J) with the stream axis j INNERMOST and the output block
+    index ignoring j — the output block stays VMEM-resident across the J
+    accumulation steps (initialize at j==0, add after). Per-stream dropout
+    seeds follow the flash-cross convention (seed + (j+1)·stride) and the
+    per-program keying matches the standalone short kernel, so masks are
+    bit-identical to J separate short calls."""
+    i = pl.program_id(0)
+    jj = pl.program_id(1)
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    t = q.shape[1]
+    p, l = _short_recompute(q, k, scale)
+    if rate > 0.0:
+        seed_j = seed_ref[0] + (jj + 1) * _STREAM_SEED_STRIDE
+        keep = _short_keep_mask(seed_j, i, g, (g, t, t), rate, interpret)
+        p = jnp.where(keep, p, 0.0)
+    o = jax.lax.dot_general(
+        p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o = (o / (l * (1.0 - rate))).astype(o_ref.dtype)
+
+    @pl.when(jj == 0)
+    def _():
+        o_ref[...] = o
+
+    @pl.when(jj > 0)
+    def _():
+        o_ref[...] = o_ref[...] + o
+
+
+def _short_cross_bwd_kernel(
+    q_ref, k_ref, v_ref, do_ref, seed_ref, dq_ref, dk_ref, dv_ref,
+    *, g: int, scale: float, rate: float, interpret: bool,
+):
+    """dq (accumulated over streams), dk_j, dv_j in ONE program per (i, j).
+
+    Same math as _short_bwd_kernel per stream; the per-stream output o_j
+    needed for D = rowsum(do ∘ o_j) is RECOMPUTED in f32 from the resident
+    (w, v) — the fused forward never materializes per-stream outputs."""
+    i = pl.program_id(0)
+    jj = pl.program_id(1)
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[...].astype(jnp.float32)
+    t = q.shape[1]
+    inv = 1.0 / (1.0 - rate)
+    p, l = _short_recompute(q, k, scale)
+    if rate > 0.0:
+        seed_j = seed_ref[0] + (jj + 1) * _STREAM_SEED_STRIDE
+        keep = _short_keep_mask(seed_j, i, g, (g, t, t), rate, interpret)
+        w = jnp.where(keep, p, 0.0) * (inv / l)
+    else:
+        w = p / l
+    o_j = jax.lax.dot_general(  # per-stream forward output, f32
+        w, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dv = jax.lax.dot_general(  # (g, t_k, hs) = w^T do
+        w, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(  # (g, t, t) = do v^T
+        do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    if rate > 0.0:
+        dp = jnp.where(keep, dp, 0.0) * inv
+    d_cap = jnp.sum(do * o_j, axis=-1, keepdims=True)  # (g, t, 1)
+    ds = (p / l) * (dp - d_cap)
+    dq = scale * jax.lax.dot_general(
+        ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dk_ref[0] = (scale * jax.lax.dot_general(
+        ds, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dq = dq.astype(dq_ref.dtype)
+
+    @pl.when(jj == 0)
+    def _():
+        dq_ref[...] = dq
+
+    @pl.when(jj > 0)
+    def _():
+        dq_ref[...] = dq_ref[...] + dq
+
+
+def _short_cross_fwd_call(q, k, v, seed, g, rate, interpret):
+    jdim, n, t, hs = k.shape
+    kernel = functools.partial(
+        _short_cross_fwd_kernel, g=g, scale=hs ** -0.5, rate=rate,
+        interpret=interpret,
+    )
+    qspec = pl.BlockSpec((g, t, hs), lambda i, jj: (i, 0, 0))
+    kvspec = pl.BlockSpec((1, g, t, hs), lambda i, jj: (jj, i, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(n // g, jdim),
+        in_specs=[qspec, kvspec, kvspec, pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=qspec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=jdim * 2 * 2 * n * t * t * hs // 2,
+            bytes_accessed=(2 * jdim + 2) * n * t * hs * 4,
+            transcendentals=jdim * n * t * t // 2,
+        ),
+    )(q, k, v, seed)
+
+
+def _short_cross_bwd_call(q, k, v, do, seed, g, rate, interpret):
+    jdim, n, t, hs = k.shape
+    kernel = functools.partial(
+        _short_cross_bwd_kernel, g=g, scale=hs ** -0.5, rate=rate,
+        interpret=interpret,
+    )
+    qspec = pl.BlockSpec((g, t, hs), lambda i, jj: (i, 0, 0))
+    kvspec = pl.BlockSpec((1, g, t, hs), lambda i, jj: (jj, i, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        grid=(n // g, jdim),
+        in_specs=[qspec, kvspec, kvspec, qspec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(qspec, kvspec, kvspec),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=jdim * 6 * 2 * n * t * t * hs // 2,
+            bytes_accessed=(3 * jdim + 5) * n * t * hs * 4,
+            transcendentals=jdim * n * t * t // 2,
+        ),
+    )(q, k, v, do, seed)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _short_cross3(q, k, v, seed, g, rate, interpret):
+    return _short_cross_fwd_call(q, k, v, seed, g, rate, interpret)
+
+
+def _short_cross3_fwd(q, k, v, seed, g, rate, interpret):
+    out = _short_cross_fwd_call(q, k, v, seed, g, rate, interpret)
+    return out, (q, k, v, seed)
+
+
+def _short_cross3_bwd(g, rate, interpret, res, grad):
+    q, k, v, seed = res
+    dq, dk, dv = _short_cross_bwd_call(q, k, v, grad, seed, g, rate, interpret)
+    return dq, dk, dv, None
+
+
+_short_cross3.defvjp(_short_cross3_fwd, _short_cross3_bwd)
+
+
+# ------------------------------------------------ packed-QKV short self kernel
+#
+# The model's fused QKV projection naturally produces one (M, B, 3H, T, hs)
+# tensor (q heads, then k heads, then v heads along one axis). Feeding the
+# short kernel that tensor DIRECTLY — one kernel operand, split in VMEM —
+# removes the stacked-axis einsum layout copies and the three separate
+# HBM operands of the q/k/v form (measured: the 6D stacked-w2 einsum + its
+# backward cost ~0.7 ms/step of the production config's 12 ms). The
+# backward writes d(qkv) packed, feeding the projection's backward with no
+# re-stacking.
+
+
+def _short_packed_fwd_kernel(
+    qkv_ref, seed_ref, o_ref,
+    *, gb: int, H: int, scale: float, rate: float, interpret: bool,
+):
+    pid = pl.program_id(0)
+    qkv = qkv_ref[...].astype(jnp.float32)  # (gb, 3H, t, hs)
+    t, hs = qkv.shape[2], qkv.shape[3]
+    g = gb * H
+    q = qkv[:, :H].reshape(g, t, hs)
+    k = qkv[:, H:2 * H].reshape(g, t, hs)
+    v = qkv[:, 2 * H:].reshape(g, t, hs)
+    p, l = _short_recompute(q, k, scale)
+    if rate > 0.0:
+        keep = _short_keep_mask(seed_ref[0], pid, g, (g, t, t), rate, interpret)
+        p = jnp.where(keep, p, 0.0)
+    o = jax.lax.dot_general(
+        p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (o / (l * (1.0 - rate))).astype(o_ref.dtype).reshape(
+        gb, H, t, hs
+    )
+
+
+def _short_packed_bwd_kernel(
+    qkv_ref, o_ref, do_ref, seed_ref, dqkv_ref,
+    *, gb: int, H: int, scale: float, rate: float, interpret: bool,
+):
+    """d(qkv) packed in ONE program — same math as _short_bwd_kernel."""
+    pid = pl.program_id(0)
+    qkv = qkv_ref[...].astype(jnp.float32)
+    t, hs = qkv.shape[2], qkv.shape[3]
+    g = gb * H
+    q = qkv[:, :H].reshape(g, t, hs)
+    k = qkv[:, H:2 * H].reshape(g, t, hs)
+    v = qkv[:, 2 * H:].reshape(g, t, hs)
+    o = o_ref[...].astype(jnp.float32).reshape(g, t, hs)
+    do = do_ref[...].astype(jnp.float32).reshape(g, t, hs)
+    inv = 1.0 / (1.0 - rate)
+    p, l = _short_recompute(q, k, scale)
+    if rate > 0.0:
+        keep = _short_keep_mask(seed_ref[0], pid, g, (g, t, t), rate, interpret)
+        w = jnp.where(keep, p, 0.0) * (inv / l)
+    else:
+        w = p / l
+    dv = jax.lax.dot_general(
+        w, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    if rate > 0.0:
+        dp = jnp.where(keep, dp, 0.0) * inv
+    d_cap = jnp.sum(do * o, axis=-1, keepdims=True)
+    ds = (p / l) * (dp - d_cap)
+    dq = scale * jax.lax.dot_general(
+        ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dk = scale * jax.lax.dot_general(
+        ds, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dt = dqkv_ref.dtype
+    dqkv_ref[:, :H] = dq.astype(dt).reshape(gb, H, t, hs)
+    dqkv_ref[:, H:2 * H] = dk.astype(dt).reshape(gb, H, t, hs)
+    dqkv_ref[:, 2 * H:] = dv.astype(dt).reshape(gb, H, t, hs)
+
+
+def _short_packed_pick_gb(nb: int, H: int, t: int, hs: int) -> int:
+    """Largest divisor of nb (the collapsed M·B axis) within the VMEM budget
+    (same accounting as _short_pick_g with g = gb·H)."""
+    budget = 8 * 1024 * 1024
+    per_row = (8 * t * hs + 4 * t * t) * 4 * H
+    for gb in (64, 32, 16, 8, 4, 2, 1):
+        if nb % gb == 0 and gb * per_row <= budget:
+            return gb
+    return 1
+
+
+def _short_packed_fwd_call(qkv, seed, gb, H, rate, interpret):
+    nb, h3, t, hs = qkv.shape
+    kernel = functools.partial(
+        _short_packed_fwd_kernel, gb=gb, H=H, scale=hs ** -0.5, rate=rate,
+        interpret=interpret,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb, H, t, hs), qkv.dtype),
+        grid=(nb // gb,),
+        in_specs=[
+            pl.BlockSpec((gb, h3, t, hs), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((gb, H, t, hs), lambda i: (i, 0, 0, 0)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * nb * H * t * t * hs // 2,
+            bytes_accessed=4 * nb * H * t * hs * 4,
+            transcendentals=nb * H * t * t // 2,
+        ),
+    )(qkv, seed)
+
+
+def _short_packed_bwd_call(qkv, o, do, seed, gb, H, rate, interpret):
+    nb, h3, t, hs = qkv.shape
+    kernel = functools.partial(
+        _short_packed_bwd_kernel, gb=gb, H=H, scale=hs ** -0.5, rate=rate,
+        interpret=interpret,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+        grid=(nb // gb,),
+        in_specs=[
+            pl.BlockSpec((gb, h3, t, hs), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((gb, H, t, hs), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((gb, H, t, hs), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((gb, h3, t, hs), lambda i: (i, 0, 0, 0)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * nb * H * t * t * hs // 2,
+            bytes_accessed=8 * nb * H * t * hs * 4,
+            transcendentals=nb * H * t * t // 2,
+        ),
+    )(qkv, o, do, seed)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _short_packed(qkv, seed, gb, H, rate, interpret):
+    return _short_packed_fwd_call(qkv, seed, gb, H, rate, interpret)
+
+
+def _short_packed_fwd(qkv, seed, gb, H, rate, interpret):
+    out = _short_packed_fwd_call(qkv, seed, gb, H, rate, interpret)
+    return out, (qkv, out, seed)
+
+
+def _short_packed_bwd(gb, H, rate, interpret, res, grad):
+    qkv, out, seed = res
+    dqkv = _short_packed_bwd_call(qkv, out, grad, seed, gb, H, rate, interpret)
+    return dqkv, None
+
+
+_short_packed.defvjp(_short_packed_fwd, _short_packed_bwd)
+
+
+def short_packed_eligible(t: int, hs: int) -> bool:
+    """Shape-only eligibility for the packed short self kernel."""
+    return SHORT_MIN_SEQ_LEN <= t <= SHORT_MAX_SEQ_LEN and t % 8 == 0 and hs <= 256
+
+
+def short_causal_attention_packed(
+    qkv: jax.Array,
+    n_head: int,
+    interpret: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Whole-row fused causal self-attention over a PACKED qkv tensor.
+
+    qkv: (..., 3H, T, hs) with q/k/v head groups along the packed axis (the
+    fused projection's natural output). Returns (..., H, T, hs). One kernel
+    operand forward, one packed gradient backward."""
+    lead = qkv.shape[:-3]
+    h3, t, hs = qkv.shape[-3], qkv.shape[-2], qkv.shape[-1]
+    H = n_head
+    assert h3 == 3 * H, (h3, H)
+    nb = 1
+    for d in lead:
+        nb *= d
+    gb = _short_packed_pick_gb(nb, H, t, hs)
+    rate = float(dropout_rate)
+    if rate > 0.0:
+        if dropout_key is None:
+            raise ValueError("dropout_rate > 0 requires dropout_key")
+        seed = seed_from_key(dropout_key)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    qkv4 = qkv.reshape(nb, h3, t, hs)
+    out = _short_packed(qkv4, seed, gb, H, rate, interpret)
+    return out.reshape(*lead, H, t, hs)
+
+
 def short_cross_eligible(q: jax.Array, k: jax.Array, v: jax.Array) -> bool:
     """Cross layout (k/v carry a leading stream axis) in the short-T band."""
     if k.shape != v.shape or k.ndim != q.ndim + 1 or k.shape[1:] != q.shape:
@@ -1338,11 +1706,17 @@ def short_cross_attention(
     dropout_rate: float = 0.0,
     dropout_key: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Sum over J KV streams of short fused causal attention.
+    """Sum over J KV streams of short fused causal attention — ONE kernel.
 
-    J short-kernel calls (J <= a few) replace the dense path's per-stream
-    op explosion; per-stream seeds follow the flash-cross convention
-    (seed + (j+1)*_STREAM_SEED_STRIDE)."""
+    The stream axis rides the grid (innermost), with the output block
+    revisited across streams so the per-stream outputs are never
+    materialized (the J-sequential-calls formulation measured ~1.4 ms/step
+    of the production config's 12 ms — per-call dispatch plus J separate
+    (n,t,hs) intermediates plus the add chain; this form is one op forward,
+    one backward). Per-stream seeds follow the flash-cross convention
+    (seed + (j+1)*_STREAM_SEED_STRIDE), keyed per program exactly like the
+    standalone short kernel, so masks match the unfused formulation
+    bit-for-bit."""
     rate = float(dropout_rate)
     if rate > 0.0:
         if dropout_key is None:
@@ -1357,14 +1731,10 @@ def short_cross_attention(
         n *= d
     g = _short_pick_g(n, t, hs)
     q3 = q.reshape(n, t, hs)
-    out = None
-    for j in range(k.shape[0]):
-        seed_j = seed + (j + 1) * _STREAM_SEED_STRIDE
-        o = _short3(
-            q3, k[j].reshape(n, t, hs), v[j].reshape(n, t, hs),
-            seed_j, g, rate, interpret,
-        )
-        out = o if out is None else out + o
+    jdim = k.shape[0]
+    k4 = k.reshape(jdim, n, t, hs)
+    v4 = v.reshape(jdim, n, t, hs)
+    out = _short_cross3(q3, k4, v4, seed, g, rate, interpret)
     return out.reshape(*lead, t, hs)
 
 
