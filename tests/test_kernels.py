@@ -709,6 +709,84 @@ class TestShortKernel:
         gr = jax.grad(lambda x: (ref(x) ** 2).sum())(qkv_p)
         np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=5e-4)
 
+    def test_fused_qkv_matches_composition(self):
+        """Fused projection+attention kernel vs the unfused composition
+        (einsum projections + dense attention), no dropout."""
+        from trade_aid_multimodal_transformer_tpu.ops.pallas_attention import (
+            fused_qkv_attention,
+        )
+
+        M, B, H, t, c, hs = 2, 4, 3, 64, 48, 16
+        hs2 = hs // 2
+        ks = jax.random.split(jax.random.PRNGKey(31), 4)
+        x = jax.random.normal(ks[0], (M, B, t, c), jnp.float32)
+        w1 = jax.random.normal(ks[1], (M, c, 3 * H * hs2), jnp.float32) * 0.1
+        b1 = jax.random.normal(ks[2], (M, 3 * H * hs2), jnp.float32) * 0.1
+        w2 = jax.random.normal(ks[3], (M, 3 * H, hs2, hs), jnp.float32) * 0.1
+
+        def composition(x, w1, b1, w2):
+            tt = jnp.tanh(jnp.einsum("mbtc,mcd->mbtd", x, w1) + b1[:, None, None])
+            tt = tt.reshape(M, B, t, 3 * H, hs2)
+            qkv = jnp.einsum("mbthd,mhde->mhbte", tt, w2)  # (M, 3H, B, t, hs)
+            q, k, v = qkv[:, :H], qkv[:, H:2 * H], qkv[:, 2 * H:]
+            return causal_attention_jnp(q, k, v)           # (M, H, B, t, hs)
+
+        ref = composition(x, w1, b1, w2)
+        out = fused_qkv_attention(x, w1, b1, w2, H, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+        # gradients wrt every input
+        gk = jax.grad(
+            lambda *a: (
+                fused_qkv_attention(*a, H, interpret=True) ** 2
+            ).sum(),
+            argnums=(0, 1, 2, 3),
+        )(x, w1, b1, w2)
+        gr = jax.grad(
+            lambda *a: (composition(*a) ** 2).sum(), argnums=(0, 1, 2, 3)
+        )(x, w1, b1, w2)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3
+            )
+
+    def test_fused_qkv_dropout_consistency(self):
+        """With dropout on: fwd is deterministic per key, key-sensitive, and
+        the custom-VJP backward is consistent with the interpret forward
+        (finite-difference check on a scalar loss)."""
+        from trade_aid_multimodal_transformer_tpu.ops.pallas_attention import (
+            fused_qkv_attention,
+        )
+
+        M, B, H, t, c, hs = 1, 2, 2, 16, 24, 16
+        hs2 = hs // 2
+        ks = jax.random.split(jax.random.PRNGKey(37), 4)
+        x = jax.random.normal(ks[0], (M, B, t, c), jnp.float32)
+        w1 = jax.random.normal(ks[1], (M, c, 3 * H * hs2), jnp.float32) * 0.1
+        b1 = jnp.zeros((M, 3 * H * hs2), jnp.float32)
+        w2 = jax.random.normal(ks[3], (M, 3 * H, hs2, hs), jnp.float32) * 0.1
+        key = jax.random.PRNGKey(9)
+
+        f = lambda x: fused_qkv_attention(  # noqa: E731
+            x, w1, b1, w2, H, interpret=True,
+            dropout_rate=0.3, dropout_key=key,
+        )
+        a, b = f(x), f(x)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        c2 = fused_qkv_attention(
+            x, w1, b1, w2, H, interpret=True,
+            dropout_rate=0.3, dropout_key=jax.random.PRNGKey(10),
+        )
+        assert np.abs(np.asarray(a) - np.asarray(c2)).max() > 1e-4
+
+        loss = lambda x: (f(x) ** 2).sum()  # noqa: E731
+        g = jax.grad(loss)(x)
+        eps = 1e-3
+        d = jax.random.normal(jax.random.PRNGKey(11), x.shape, jnp.float32)
+        num = (loss(x + eps * d) - loss(x - eps * d)) / (2 * eps)
+        ana = (np.asarray(g) * np.asarray(d)).sum()
+        np.testing.assert_allclose(num, ana, rtol=2e-2)
+
     def test_packed_dispatch_fallback_matches(self):
         """causal_attention_packed off-TPU splits and reuses the standard
         dispatch — values must equal attention on the split views."""
@@ -864,6 +942,28 @@ class TestTPULowering:
             )(x)
 
         jax.jit(packed_fwdbwd).trace(qkv_p).lower(lowering_platforms=("tpu",))
+
+        from trade_aid_multimodal_transformer_tpu.ops.pallas_attention import (
+            fused_qkv_attention,
+        )
+
+        # production-shaped fused projection+attention kernel
+        xs = jnp.zeros((4, 32, 64, 384), jnp.bfloat16)
+        w1s = jnp.zeros((4, 384, 576), jnp.float32)
+        b1s = jnp.zeros((4, 576), jnp.float32)
+        w2s = jnp.zeros((4, 18, 32, 64), jnp.float32)
+
+        def fqkv_fwdbwd(x, w1, b1, w2):
+            return jax.grad(
+                lambda *a: fused_qkv_attention(
+                    *a, 6, dropout_rate=0.2, dropout_key=key
+                ).astype(jnp.float32).sum(),
+                argnums=(0, 1, 2, 3),
+            )(x, w1, b1, w2)
+
+        jax.jit(fqkv_fwdbwd).trace(xs, w1s, b1s, w2s).lower(
+            lowering_platforms=("tpu",)
+        )
 
 
 class TestKernelUnderPjit:

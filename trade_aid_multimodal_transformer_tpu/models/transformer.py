@@ -38,6 +38,7 @@ from ..ops.attention import (
     causal_attention,
     causal_attention_packed,
     cross_causal_attention,
+    fused_qkv_attention_active,
     packed_attention_active,
 )
 from ..ops.layers import KeyGen, dropout, layernorm
@@ -121,19 +122,23 @@ def _proj_mlp(out: jax.Array, w1, b1, w2, b2) -> jax.Array:
     return _mm("...e,ec->...c", t, w2) + b2.astype(dt)
 
 
-def _proj_mlp_heads(att: jax.Array, w1, b1, w2, b2, H: int, hs: int) -> jax.Array:
+def _proj_mlp_heads(
+    att: jax.Array, w1, b1, w2, b2, H: int, hs: int, head_major: bool = False
+) -> jax.Array:
     """Output projection taking attention output in (…, H, T, hs) layout.
 
     Contracts (head, head_feature) against w1 reshaped (…, H, hs, C2) — the
     transpose-back-and-reshape of the head-major attention output fuses into
     the matmul's dimension numbers instead of materializing a copy.
+    ``head_major=True`` accepts the fused kernel's (M, H, B, T, hs) layout.
     """
     dt = att.dtype
-    if w1.ndim == 3:  # stacked over modality: att (M,B,H,T,hs)
+    if w1.ndim == 3:  # stacked over modality: att (M,B,H,T,hs) / (M,H,B,T,hs)
         M = att.shape[0]
         w1r = w1.reshape(M, H, hs, w1.shape[-1])
+        eq = "mhbte,mhec->mbtc" if head_major else "mbhte,mhec->mbtc"
         t = jnp.tanh(
-            _mm("mbhte,mhec->mbtc", att, w1r) + b1.astype(dt)[:, None, None, :]
+            _mm(eq, att, w1r) + b1.astype(dt)[:, None, None, :]
         )
         return _mm("mbtc,mcd->mbtd", t, w2) + b2.astype(dt)[:, None, None, :]
     w1r = w1.reshape(H, hs, w1.shape[-1])  # att (B,H,T,hs)
@@ -153,6 +158,28 @@ def self_attention(
     H, hs = cfg.n_head, cfg.head_size
     hs2 = hs // 2
 
+    if fused_qkv_attention_active(T, hs, cfg.attn_impl):
+        # short-T TPU path: the ENTIRE attention core (factored tanh q/k/v
+        # projections + whole-row causal attention) runs as ONE kernel —
+        # x is read once, t/qkv never touch HBM, weight grads accumulate
+        # f32 in-kernel (ops/pallas_attention.fused_qkv_attention)
+        from ..ops.pallas_attention import fused_qkv_attention
+
+        w1 = jnp.concatenate([sa["w1_q"], sa["w1_k"], sa["w1_v"]], axis=-1)
+        b1 = jnp.concatenate([sa["b1_q"], sa["b1_k"], sa["b1_v"]], axis=-1)
+        w2 = jnp.concatenate([sa["w2_q"], sa["w2_k"], sa["w2_v"]], axis=1)
+        use_dropout = train and cfg.dropout > 0.0
+        k_att = keys()  # consume the site unconditionally (stable numbering)
+        att_hm = fused_qkv_attention(
+            x_norm, w1, b1, w2, H,
+            dropout_rate=cfg.dropout if use_dropout else 0.0,
+            dropout_key=k_att if use_dropout else None,
+        )  # (M, H, B, T, hs)
+        out = _proj_mlp_heads(
+            att_hm, sa["proj_w1"], sa["proj_b1"], sa["proj_w2"],
+            sa["proj_b2"], H, hs, head_major=True,
+        )
+        return dropout(out, cfg.dropout, keys(), train)
     if packed_attention_active(T, hs, cfg.attn_impl):
         # short-T TPU path: packed projection -> packed kernel, one operand
         # each direction (see _qkv_project_packed)

@@ -282,6 +282,18 @@ def packed_attention_active(t: int, hs: int, impl: str = "auto") -> bool:
     return short_packed_eligible(t, hs)
 
 
+def fused_qkv_attention_active(t: int, hs: int, impl: str = "auto") -> bool:
+    """True when self-attention will run the fused projection+attention
+    kernel (ops/pallas_attention.fused_qkv_attention) — the model checks
+    this at trace time to hand the kernel raw weights instead of emitting
+    the projection einsums."""
+    if impl not in ("auto", "pallas") or _CP_SCOPE is not None or not _on_tpu():
+        return False
+    from .pallas_attention import fused_qkv_eligible
+
+    return fused_qkv_eligible(t, hs)
+
+
 def causal_attention_packed(
     qkv: jax.Array,
     n_head: int,

@@ -173,7 +173,11 @@ def _flash_fwd_kernel(
     """
     n_idx = pl.program_id(0)
     iq = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)  # (bq, hs)
+    # dot inputs stay in their NATIVE dtype (bf16 on the production path)
+    # with f32 accumulation — f32 dot inputs cost ~4x MXU throughput, and at
+    # long T the flash kernels are compute-bound (measured ~33 TF/s before
+    # this change)
+    q = q_ref[0]  # (bq, hs)
     hs = q.shape[-1]
     t_k = k_ref.shape[1]
 
@@ -185,8 +189,8 @@ def _flash_fwd_kernel(
 
     def body(jk, carry):
         m, l, acc = carry
-        k_blk = k_ref[0, pl.ds(jk * bk, bk), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(jk * bk, bk), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(jk * bk, bk), :]
+        v_blk = v_ref[0, pl.ds(jk * bk, bk), :]
 
         s = jax.lax.dot_general(
             q, k_blk,
@@ -212,7 +216,7 @@ def _flash_fwd_kernel(
         else:
             p_acc = p
         acc = acc * corr + jax.lax.dot_general(
-            p_acc, v_blk,
+            p_acc.astype(v_blk.dtype), v_blk,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -314,9 +318,9 @@ def _flash_fwd_kernel_streamed(
 
     @pl.when(run)
     def _():
-        q = q_ref[0].astype(jnp.float32)
-        k_blk = k_ref[0].astype(jnp.float32)
-        v_blk = v_ref[0].astype(jnp.float32)
+        q = q_ref[0]
+        k_blk = k_ref[0]
+        v_blk = v_ref[0]
         s = jax.lax.dot_general(
             q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -337,7 +341,8 @@ def _flash_fwd_kernel_streamed(
         else:
             p_acc = p
         acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
-            p_acc, v_blk, dimension_numbers=(((1,), (0,)), ((), ())),
+            p_acc.astype(v_blk.dtype), v_blk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_scr[:, :1] = m_new
@@ -423,8 +428,8 @@ def _flash_bwd_dq_kernel(
     (all key blocks when ``causal=False``)."""
     n_idx = pl.program_id(0)
     iq = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)            # (bq, hs)
-    do = do_ref[0].astype(jnp.float32)          # (bq, hs)
+    q = q_ref[0]            # (bq, hs)
+    do = do_ref[0]          # (bq, hs)
     hs = q.shape[-1]
     t_k = k_ref.shape[1]
     q_offset = iq * bq
@@ -432,8 +437,8 @@ def _flash_bwd_dq_kernel(
     delta = delta_ref[0, 0, pl.ds(q_offset, bq)][:, None]  # (bq, 1)
 
     def body(jk, dq):
-        k_blk = k_ref[0, pl.ds(jk * bk, bk), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(jk * bk, bk), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(jk * bk, bk), :]
+        v_blk = v_ref[0, pl.ds(jk * bk, bk), :]
         s = jax.lax.dot_general(
             q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -456,7 +461,7 @@ def _flash_bwd_dq_kernel(
                 seed_ref[0], n_idx, iq, jk, (bq, bk), rate, interpret
             )
             dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(k_blk.dtype)
         return dq + jax.lax.dot_general(
             ds, k_blk, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -481,8 +486,8 @@ def _flash_bwd_dkv_kernel(
     (all query blocks when ``causal=False``)."""
     n_idx = pl.program_id(0)
     jk = pl.program_id(1)
-    k_blk = k_ref[0].astype(jnp.float32)        # (bk, hs)
-    v_blk = v_ref[0].astype(jnp.float32)        # (bk, hs)
+    k_blk = k_ref[0]        # (bk, hs)
+    v_blk = v_ref[0]        # (bk, hs)
     hs = k_blk.shape[-1]
     t_q = q_ref.shape[1]
     k_offset = jk * bk
@@ -490,8 +495,8 @@ def _flash_bwd_dkv_kernel(
 
     def body(iq, carry):
         dk, dv = carry
-        q = q_ref[0, pl.ds(iq * bq, bq), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(iq * bq, bq), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(iq * bq, bq), :]
+        do = do_ref[0, pl.ds(iq * bq, bq), :]
         lse = lse_ref[0, 0, pl.ds(iq * bq, bq)][:, None]
         delta = delta_ref[0, 0, pl.ds(iq * bq, bq)][:, None]
         s = jax.lax.dot_general(
@@ -517,10 +522,10 @@ def _flash_bwd_dkv_kernel(
         else:
             pd = p
         dv = dv + jax.lax.dot_general(
-            pd, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            pd.astype(do.dtype), do, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(q.dtype)
         dk = dk + jax.lax.dot_general(
             ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -634,10 +639,10 @@ def _flash_bwd_dq_kernel_streamed(
 
     @pl.when(jk <= last_valid)
     def _():
-        q = q_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
-        k_blk = k_ref[0].astype(jnp.float32)
-        v_blk = v_ref[0].astype(jnp.float32)
+        q = q_ref[0]
+        do = do_ref[0]
+        k_blk = k_ref[0]
+        v_blk = v_ref[0]
         lse = lse_ref[0, 0, pl.ds(q_offset, bq)][:, None]
         delta = delta_ref[0, 0, pl.ds(q_offset, bq)][:, None]
         s = jax.lax.dot_general(
@@ -657,7 +662,7 @@ def _flash_bwd_dq_kernel_streamed(
         if rate > 0.0:
             keep = _keep_mask(seed_ref[0], n_idx, iq, jk, (bq, bk), rate, interpret)
             dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(k_blk.dtype)
         dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
             ds, k_blk, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -690,10 +695,10 @@ def _flash_bwd_dkv_kernel_streamed(
 
     @pl.when(iq >= first_valid)
     def _():
-        k_blk = k_ref[0].astype(jnp.float32)
-        v_blk = v_ref[0].astype(jnp.float32)
-        q = q_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
+        k_blk = k_ref[0]
+        v_blk = v_ref[0]
+        q = q_ref[0]
+        do = do_ref[0]
         lse = lse_ref[0, 0, pl.ds(iq * bq, bq)][:, None]
         delta = delta_ref[0, 0, pl.ds(iq * bq, bq)][:, None]
         s = jax.lax.dot_general(
@@ -717,10 +722,10 @@ def _flash_bwd_dkv_kernel_streamed(
         else:
             pd = p
         dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
-            pd, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            pd.astype(do.dtype), do, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(q.dtype)
         dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
             ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -895,7 +900,7 @@ def _flash_cross_kernel(
     n_idx = pl.program_id(1)
     iq = pl.program_id(2)
     stream_seed = seed_ref[0] + (jj + 1) * _STREAM_SEED_STRIDE
-    q = q_ref[0, 0].astype(jnp.float32)  # (bq, hs)
+    q = q_ref[0, 0]  # (bq, hs)
     hs = q.shape[-1]
     t_k = k_ref.shape[2]
 
@@ -906,8 +911,8 @@ def _flash_cross_kernel(
 
     def body(jk, carry):
         m, l, acc = carry
-        k_blk = k_ref[0, 0, pl.ds(jk * bk, bk), :].astype(jnp.float32)
-        v_blk = v_ref[0, 0, pl.ds(jk * bk, bk), :].astype(jnp.float32)
+        k_blk = k_ref[0, 0, pl.ds(jk * bk, bk), :]
+        v_blk = v_ref[0, 0, pl.ds(jk * bk, bk), :]
         s = jax.lax.dot_general(
             q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -927,7 +932,8 @@ def _flash_cross_kernel(
         else:
             p_acc = p
         acc = acc * corr + jax.lax.dot_general(
-            p_acc, v_blk, dimension_numbers=(((1,), (0,)), ((), ())),
+            p_acc.astype(v_blk.dtype), v_blk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return m_new, l, acc
@@ -1104,7 +1110,11 @@ def _short_recompute(q, k, scale: float):
 
     One closed-form softmax (no online accumulation): the fwd and bwd call
     the same expression on the same operands, so the backward's
-    reconstruction is bit-identical to the forward."""
+    reconstruction is bit-identical to the forward.
+
+    Operands stay in their NATIVE dtype (bf16 on the production path) with
+    f32 accumulation — upcasting dot inputs to f32 costs ~4x MXU throughput
+    on TPU for no accuracy the f32 accumulator doesn't already provide."""
     g, t, _ = q.shape
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -1124,16 +1134,16 @@ def _short_fwd_kernel(
     *, g: int, scale: float, rate: float, interpret: bool,
 ):
     pid = pl.program_id(0)
-    q = q_ref[...].astype(jnp.float32)
-    k = k_ref[...].astype(jnp.float32)
-    v = v_ref[...].astype(jnp.float32)
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
     t = q.shape[1]
     p, l = _short_recompute(q, k, scale)
     if rate > 0.0:
         keep = _short_keep_mask(seed_ref[0], pid, g, (g, t, t), rate, interpret)
         p = jnp.where(keep, p, 0.0)
     o = jax.lax.dot_general(
-        p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        p.astype(v.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
     o_ref[...] = (o / (l * (1.0 - rate))).astype(o_ref.dtype)
@@ -1153,11 +1163,11 @@ def _short_bwd_kernel(
     equals rowsum(do .* o) — masked entries of s have P-contribution zero.)
     """
     pid = pl.program_id(0)
-    q = q_ref[...].astype(jnp.float32)
-    k = k_ref[...].astype(jnp.float32)
-    v = v_ref[...].astype(jnp.float32)
-    o = o_ref[...].astype(jnp.float32)
-    do = do_ref[...].astype(jnp.float32)
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    o = o_ref[...]
+    do = do_ref[...]
     t = q.shape[1]
     inv = 1.0 / (1.0 - rate)
     p, l = _short_recompute(q, k, scale)
@@ -1166,6 +1176,7 @@ def _short_bwd_kernel(
         w = jnp.where(keep, p, 0.0) * (inv / l)
     else:
         w = p / l
+    w = w.astype(v.dtype)
     dv = jax.lax.dot_general(  # (g, t_k, hs) = w^T do
         w, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
@@ -1176,8 +1187,10 @@ def _short_bwd_kernel(
     )
     if rate > 0.0:
         dp = jnp.where(keep, dp, 0.0) * inv
-    d_cap = jnp.sum(do * o, axis=-1, keepdims=True)  # (g, t, 1)
-    ds = (p / l) * (dp - d_cap)
+    d_cap = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )  # (g, t, 1)
+    ds = ((p / l) * (dp - d_cap)).astype(v.dtype)
     dq = scale * jax.lax.dot_general(
         ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
@@ -1332,9 +1345,9 @@ def _short_cross_fwd_kernel(
     bit-identical to J separate short calls."""
     i = pl.program_id(0)
     jj = pl.program_id(1)
-    q = q_ref[...].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    q = q_ref[...]
+    k = k_ref[0]
+    v = v_ref[0]
     t = q.shape[1]
     p, l = _short_recompute(q, k, scale)
     if rate > 0.0:
@@ -1342,7 +1355,7 @@ def _short_cross_fwd_kernel(
         keep = _short_keep_mask(seed_j, i, g, (g, t, t), rate, interpret)
         p = jnp.where(keep, p, 0.0)
     o = jax.lax.dot_general(
-        p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        p.astype(v.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
     o = (o / (l * (1.0 - rate))).astype(o_ref.dtype)
@@ -1367,10 +1380,10 @@ def _short_cross_bwd_kernel(
     (w, v) — the fused forward never materializes per-stream outputs."""
     i = pl.program_id(0)
     jj = pl.program_id(1)
-    q = q_ref[...].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[...].astype(jnp.float32)
+    q = q_ref[...]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[...]
     t = q.shape[1]
     inv = 1.0 / (1.0 - rate)
     p, l = _short_recompute(q, k, scale)
@@ -1380,6 +1393,7 @@ def _short_cross_bwd_kernel(
         w = jnp.where(keep, p, 0.0) * (inv / l)
     else:
         w = p / l
+    w = w.astype(v.dtype)
     o_j = jax.lax.dot_general(  # per-stream forward output, f32
         w, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
@@ -1394,8 +1408,8 @@ def _short_cross_bwd_kernel(
     )
     if rate > 0.0:
         dp = jnp.where(keep, dp, 0.0) * inv
-    d_cap = jnp.sum(do * o_j, axis=-1, keepdims=True)  # (g, t, 1)
-    ds = (p / l) * (dp - d_cap)
+    d_cap = jnp.sum(do.astype(jnp.float32) * o_j, axis=-1, keepdims=True)
+    ds = ((p / l) * (dp - d_cap)).astype(v.dtype)
     dq = scale * jax.lax.dot_general(
         ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
@@ -1486,6 +1500,354 @@ def _short_cross3_bwd(g, rate, interpret, res, grad):
 _short_cross3.defvjp(_short_cross3_fwd, _short_cross3_bwd)
 
 
+# ------------------------------------- fused QKV-projection + attention kernel
+#
+# The production step at short T is dominated not by FLOPs but by the HBM
+# round-trips and layout copies BETWEEN the factored q/k/v projections and
+# the attention core (measured: the projection einsums + tanh + packing
+# copies around the packed short kernel cost ~0.7 ms/step on top of the
+# kernel itself). This kernel computes the ENTIRE self-attention core per
+# (modality, batch-block) program:
+#
+#   t   = tanh(x @ w1 + b1)            # (gb·T, 3D), contraction C — MXU-deep
+#   qkv = t @ w2 per virtual head      # (3H, gb·T, hs)
+#   o   = causal-softmax attention     # whole-row, closed-form (short T)
+#
+# x is read once, o written once; t and qkv exist only in VMEM. The backward
+# is ONE program per (m, ib) producing dx plus dw1/db1/dw2, with the weight
+# gradients ACCUMULATED across the batch grid dimension (ib innermost;
+# output blocks revisited: initialize at ib == 0, add after) — so the weight
+# grads arrive f32-reduced without any XLA-side tree of partial sums.
+#
+# Reference semantics: factored tanh projections model.py:36-50, attention
+# model.py:60-73. Numerics: f32 matmul accumulation, f32 tanh/softmax;
+# operands feed the MXU in their native dtype.
+
+
+def _fqkv_project(x2, w1, b1, w2, gb: int, t: int, H: int):
+    """Shared fwd/bwd recompute: x2 (gb·T, C) -> t2 (f32 tanh output for the
+    bwd), t3 (head-major factored activations), qkv (3H, gb·T, hs).
+
+    Weights arrive in their STORAGE dtype (f32 master params) and cast to
+    the compute dtype in VMEM — so the custom VJP can return f32 weight
+    gradients (cotangent dtype must match the primal) while the MXU still
+    sees fast bf16 operands.
+
+    The head-major relayout runs as 2D transpose + LEADING split + batched
+    transpose: Mosaic rejects a direct minor-dim split ((gb·T, 3D) ->
+    (gb·T, 3H, hs2) is an "unsupported shape cast" in infer-vector-layout),
+    but full 2D transposes, leading-dim splits, and batched last-two-dim
+    transposes all lower and cost ~nothing (probed on v5e). A
+    block-diagonalized single deep matmul was also probed and measured
+    SLOWER than the 3H-way batched dot inside Mosaic (fwd 180 vs 109 us at
+    the production shape) — the zero-block FLOPs don't pay for themselves."""
+    w1 = w1.astype(x2.dtype)
+    w2 = w2.astype(x2.dtype)
+    pre = jax.lax.dot_general(
+        x2, w1, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1.astype(jnp.float32)[None, :]
+    t2 = jnp.tanh(pre)                                   # (gb·T, 3D) f32
+    t2c = t2.astype(x2.dtype)
+    hs2 = w2.shape[1]
+    t3 = jnp.transpose(
+        t2c.T.reshape(3 * H, hs2, gb * t), (0, 2, 1)
+    )                                                    # (3H, gb·T, hs2)
+    qkv = jax.lax.dot_general(
+        t3, w2, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(x2.dtype)                                   # (3H, gb·T, hs)
+    return t2, t3, qkv
+
+
+def _fqkv_split(qkv, gb: int, t: int, H: int):
+    hs = qkv.shape[-1]
+    q5 = qkv.reshape(3, H * gb, t, hs)
+    return q5[0], q5[1], q5[2]
+
+
+def _fqkv_fwd_kernel(
+    x_ref, w1_ref, b1_ref, w2_ref, seed_ref, o_ref,
+    *, gb: int, H: int, scale: float, rate: float, interpret: bool,
+):
+    pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    x = x_ref[0]                                   # (gb, T, C)
+    t = x.shape[1]
+    x2 = x.reshape(gb * t, x.shape[2])
+    _, _, qkv = _fqkv_project(x2, w1_ref[0], b1_ref[0, 0], w2_ref[0], gb, t, H)
+    q, k, v = _fqkv_split(qkv, gb, t, H)           # (H·gb, t, hs) each
+    g = gb * H
+    p, l = _short_recompute(q, k, scale)
+    if rate > 0.0:
+        keep = _short_keep_mask(seed_ref[0], pid, g, (g, t, t), rate, interpret)
+        p = jnp.where(keep, p, 0.0)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    hs = v.shape[-1]
+    o_ref[0] = (o / (l * (1.0 - rate))).astype(o_ref.dtype).reshape(
+        H, gb, t, hs
+    )
+
+
+def _fqkv_bwd_kernel(
+    x_ref, w1_ref, b1_ref, w2_ref, o_ref, do_ref, seed_ref,
+    dx_ref, dw1_ref, db1_ref, dw2_ref,
+    *, gb: int, H: int, scale: float, rate: float, interpret: bool,
+):
+    ib = pl.program_id(1)
+    pid = pl.program_id(0) * pl.num_programs(1) + ib
+    x = x_ref[0]
+    t = x.shape[1]
+    c = x.shape[2]
+    x2 = x.reshape(gb * t, c)
+    w1 = w1_ref[0]
+    w2 = w2_ref[0]
+    t2, t3, qkv = _fqkv_project(x2, w1, b1_ref[0, 0], w2, gb, t, H)
+    q, k, v = _fqkv_split(qkv, gb, t, H)
+    hs = v.shape[-1]
+    g = gb * H
+    o = o_ref[0].reshape(g, t, hs)
+    do = do_ref[0].reshape(g, t, hs)
+
+    # ------- attention backward (same math as _short_bwd_kernel)
+    inv = 1.0 / (1.0 - rate)
+    p, l = _short_recompute(q, k, scale)
+    if rate > 0.0:
+        keep = _short_keep_mask(seed_ref[0], pid, g, (g, t, t), rate, interpret)
+        w = jnp.where(keep, p, 0.0) * (inv / l)
+    else:
+        w = p / l
+    w = w.astype(v.dtype)
+    dv = jax.lax.dot_general(
+        w, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    if rate > 0.0:
+        dp = jnp.where(keep, dp, 0.0) * inv
+    d_cap = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )
+    ds = ((p / l) * (dp - d_cap)).astype(v.dtype)
+    dq = scale * jax.lax.dot_general(
+        ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dk = scale * jax.lax.dot_general(
+        ds, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dqkv = jnp.concatenate(
+        [dq[None], dk[None], dv[None]], axis=0
+    ).astype(x.dtype).reshape(3 * H, gb * t, hs)
+
+    # ------- projection backward (weights cast to compute dtype in VMEM)
+    w1 = w1.astype(x.dtype)
+    w2 = w2.astype(x.dtype)
+    dt3 = jax.lax.dot_general(  # (3H, gb·T, hs2) = dqkv @ w2^T per head
+        dqkv, w2, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dw2 = jax.lax.dot_general(  # (3H, hs2, hs) = t3^T dqkv per head
+        t3, dqkv, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    hs2 = w2.shape[1]
+    # inverse of the forward's head-major relayout (see _fqkv_project)
+    dt2 = (
+        jnp.transpose(dt3.astype(x.dtype), (0, 2, 1))
+        .reshape(3 * H * hs2, gb * t).T
+    )
+    dpre = dt2.astype(jnp.float32) * (1.0 - t2 * t2)  # f32 (gb·T, 3D)
+    db1 = jnp.sum(dpre, axis=0)                   # (3D,)
+    dprec = dpre.astype(x.dtype)
+    dx2 = jax.lax.dot_general(                    # (gb·T, C)
+        dprec, w1, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dw1 = jax.lax.dot_general(                    # (C, 3D)
+        x2, dprec, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx_ref[0] = dx2.astype(dx_ref.dtype).reshape(gb, t, c)
+
+    @pl.when(ib == 0)
+    def _():
+        dw1_ref[0] = dw1
+        db1_ref[0, 0] = db1
+        dw2_ref[0] = dw2
+
+    @pl.when(ib > 0)
+    def _():
+        dw1_ref[0] = dw1_ref[0] + dw1
+        db1_ref[0, 0] = db1_ref[0, 0] + db1
+        dw2_ref[0] = dw2_ref[0] + dw2
+
+
+def _fqkv_pick_gb(nb: int, H: int, t: int, hs: int, c: int) -> int:
+    """Largest divisor of B within a VMEM estimate: attention intermediates
+    (like the packed kernel) plus the projection activations."""
+    budget = 7 * 1024 * 1024
+    att_row = (10 * t * hs + 5 * t * t) * 4 * H
+    proj_row = t * (c + 3 * H * (hs // 2) * 3) * 4
+    for gb in (32, 16, 8, 4, 2, 1):
+        if nb % gb == 0 and gb * (att_row + proj_row) <= budget:
+            return gb
+    return 1
+
+
+def _fqkv_fwd_call(x, w1, b1, w2, seed, gb, H, rate, interpret):
+    M, B, t, c = x.shape
+    hs = w2.shape[-1]
+    kernel = functools.partial(
+        _fqkv_fwd_kernel, gb=gb, H=H, scale=hs ** -0.5, rate=rate,
+        interpret=interpret,
+    )
+    d3 = w1.shape[-1]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((M, H, B, t, hs), x.dtype),
+        grid=(M, B // gb),
+        in_specs=[
+            pl.BlockSpec((1, gb, t, c), lambda m, ib: (m, ib, 0, 0)),
+            pl.BlockSpec((1, c, d3), lambda m, ib: (m, 0, 0)),
+            pl.BlockSpec((1, 1, d3), lambda m, ib: (m, 0, 0)),
+            pl.BlockSpec(
+                (1, 3 * H, w2.shape[-2], hs), lambda m, ib: (m, 0, 0, 0)
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, H, gb, t, hs), lambda m, ib: (m, 0, ib, 0, 0)
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * B * t * (
+                c * d3 + 3 * H * (w2.shape[-2] * hs) + H * t * hs
+            ),
+            bytes_accessed=2 * M * B * t * (c + H * hs) * 2,
+            transcendentals=M * B * t * (d3 + H * t // 2),
+        ),
+    )(x, w1, b1[:, None, :], w2, seed)
+
+
+def _fqkv_bwd_call(x, w1, b1, w2, o, do, seed, gb, H, rate, interpret):
+    M, B, t, c = x.shape
+    hs = w2.shape[-1]
+    d3 = w1.shape[-1]
+    kernel = functools.partial(
+        _fqkv_bwd_kernel, gb=gb, H=H, scale=hs ** -0.5, rate=rate,
+        interpret=interpret,
+    )
+    ospec = pl.BlockSpec((1, H, gb, t, hs), lambda m, ib: (m, 0, ib, 0, 0))
+    dx, dw1, db1, dw2 = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(w1.shape, jnp.float32),
+            jax.ShapeDtypeStruct((M, 1, d3), jnp.float32),
+            jax.ShapeDtypeStruct(w2.shape, jnp.float32),
+        ),
+        grid=(M, B // gb),
+        in_specs=[
+            pl.BlockSpec((1, gb, t, c), lambda m, ib: (m, ib, 0, 0)),
+            pl.BlockSpec((1, c, d3), lambda m, ib: (m, 0, 0)),
+            pl.BlockSpec((1, 1, d3), lambda m, ib: (m, 0, 0)),
+            pl.BlockSpec((1, 3 * H, w2.shape[-2], hs), lambda m, ib: (m, 0, 0, 0)),
+            ospec,
+            ospec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, gb, t, c), lambda m, ib: (m, ib, 0, 0)),
+            pl.BlockSpec((1, c, d3), lambda m, ib: (m, 0, 0)),
+            pl.BlockSpec((1, 1, d3), lambda m, ib: (m, 0, 0)),
+            pl.BlockSpec((1, 3 * H, w2.shape[-2], hs), lambda m, ib: (m, 0, 0, 0)),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * M * B * t * (
+                c * d3 + 3 * H * (w2.shape[-2] * hs) + H * t * hs
+            ),
+            bytes_accessed=4 * M * B * t * (c + H * hs) * 2,
+            transcendentals=M * B * t * (d3 + H * t // 2),
+        ),
+    )(x, w1, b1[:, None, :], w2, o, do, seed)
+    return dx, dw1, db1[:, 0, :], dw2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fqkv(x, w1, b1, w2, seed, gb, H, rate, interpret):
+    return _fqkv_fwd_call(x, w1, b1, w2, seed, gb, H, rate, interpret)
+
+
+def _fqkv_fwd(x, w1, b1, w2, seed, gb, H, rate, interpret):
+    out = _fqkv_fwd_call(x, w1, b1, w2, seed, gb, H, rate, interpret)
+    return out, (x, w1, b1, w2, out, seed)
+
+
+def _fqkv_bwd(gb, H, rate, interpret, res, grad):
+    x, w1, b1, w2, out, seed = res
+    dx, dw1, db1, dw2 = _fqkv_bwd_call(
+        x, w1, b1, w2, out, grad, seed, gb, H, rate, interpret
+    )
+    return (
+        dx,
+        dw1.astype(w1.dtype),
+        db1.astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        None,
+    )
+
+
+_fqkv.defvjp(_fqkv_fwd, _fqkv_bwd)
+
+
+def fused_qkv_attention(
+    x: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    n_head: int,
+    interpret: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Factored QKV projection + whole-row causal attention, ONE kernel.
+
+    x: (M, B, T, C) normalized input; w1: (M, C, 3D) with D = H·hs/2;
+    b1: (M, 3D); w2: (M, 3H, hs/2, hs) (q/k/v head groups concatenated).
+    Returns (M, H, B, T, hs) — head-major so the output projection contracts
+    without a layout copy. Differentiable wrt (x, w1, b1, w2); weight
+    gradients accumulate f32 in-kernel across the batch grid."""
+    M, B, t, c = x.shape
+    hs = w2.shape[-1]
+    gb = _fqkv_pick_gb(B, n_head, t, hs, c)
+    rate = float(dropout_rate)
+    if rate > 0.0:
+        if dropout_key is None:
+            raise ValueError("dropout_rate > 0 requires dropout_key")
+        seed = seed_from_key(dropout_key)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    return _fqkv(x, w1, b1, w2, seed, gb, n_head, rate, interpret)
+
+
+def fused_qkv_eligible(t: int, hs: int) -> bool:
+    """Same short-T band as the packed kernel; hs even (factored hs/2)."""
+    return (
+        SHORT_MIN_SEQ_LEN <= t <= SHORT_MAX_SEQ_LEN
+        and t % 8 == 0
+        and hs <= 256
+        and hs % 2 == 0
+    )
+
+
 # ------------------------------------------------ packed-QKV short self kernel
 #
 # The model's fused QKV projection naturally produces one (M, B, 3H, T, hs)
@@ -1503,7 +1865,7 @@ def _short_packed_fwd_kernel(
     *, gb: int, H: int, scale: float, rate: float, interpret: bool,
 ):
     pid = pl.program_id(0)
-    qkv = qkv_ref[...].astype(jnp.float32)  # (gb, 3H, t, hs)
+    qkv = qkv_ref[...]  # (gb, 3H, t, hs)
     t, hs = qkv.shape[2], qkv.shape[3]
     g = gb * H
     q = qkv[:, :H].reshape(g, t, hs)
@@ -1514,7 +1876,7 @@ def _short_packed_fwd_kernel(
         keep = _short_keep_mask(seed_ref[0], pid, g, (g, t, t), rate, interpret)
         p = jnp.where(keep, p, 0.0)
     o = jax.lax.dot_general(
-        p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        p.astype(v.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
     o_ref[...] = (o / (l * (1.0 - rate))).astype(o_ref.dtype).reshape(
@@ -1528,14 +1890,14 @@ def _short_packed_bwd_kernel(
 ):
     """d(qkv) packed in ONE program — same math as _short_bwd_kernel."""
     pid = pl.program_id(0)
-    qkv = qkv_ref[...].astype(jnp.float32)
+    qkv = qkv_ref[...]
     t, hs = qkv.shape[2], qkv.shape[3]
     g = gb * H
     q = qkv[:, :H].reshape(g, t, hs)
     k = qkv[:, H:2 * H].reshape(g, t, hs)
     v = qkv[:, 2 * H:].reshape(g, t, hs)
-    o = o_ref[...].astype(jnp.float32).reshape(g, t, hs)
-    do = do_ref[...].astype(jnp.float32).reshape(g, t, hs)
+    o = o_ref[...].reshape(g, t, hs)
+    do = do_ref[...].reshape(g, t, hs)
     inv = 1.0 / (1.0 - rate)
     p, l = _short_recompute(q, k, scale)
     if rate > 0.0:
@@ -1543,6 +1905,7 @@ def _short_packed_bwd_kernel(
         w = jnp.where(keep, p, 0.0) * (inv / l)
     else:
         w = p / l
+    w = w.astype(v.dtype)
     dv = jax.lax.dot_general(
         w, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
@@ -1553,8 +1916,10 @@ def _short_packed_bwd_kernel(
     )
     if rate > 0.0:
         dp = jnp.where(keep, dp, 0.0) * inv
-    d_cap = jnp.sum(do * o, axis=-1, keepdims=True)
-    ds = (p / l) * (dp - d_cap)
+    d_cap = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )
+    ds = ((p / l) * (dp - d_cap)).astype(v.dtype)
     dq = scale * jax.lax.dot_general(
         ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
