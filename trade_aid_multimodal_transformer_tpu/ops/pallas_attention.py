@@ -1335,99 +1335,104 @@ def _short_cross_fwd_kernel(
     q_ref, k_ref, v_ref, seed_ref, o_ref,
     *, g: int, scale: float, rate: float, interpret: bool,
 ):
-    """One KV stream's whole-row attention, SUMMED into the output block.
+    """ALL KV streams' whole-row attention, summed, in ONE program.
 
-    Grid (n//g, J) with the stream axis j INNERMOST and the output block
-    index ignoring j — the output block stays VMEM-resident across the J
-    accumulation steps (initialize at j==0, add after). Per-stream dropout
-    seeds follow the flash-cross convention (seed + (j+1)·stride) and the
-    per-program keying matches the standalone short kernel, so masks are
-    bit-identical to J separate short calls."""
+    The stream loop is a trace-time Python loop (J = num_modalities - 1 is
+    tiny and static), so one program computes the full per-row stream sum
+    with the output resident in registers/VMEM — no output-block revisits,
+    no per-(i, j) program dispatch (a grid-axis-j variant measured ~69 us
+    per fwd call against a ~15 us traffic floor; this form removes the
+    flush/refetch and amortizes the per-program overhead over J streams).
+    Per-stream dropout seeds follow the flash-cross convention
+    (seed + (j+1)·stride) with the standalone short kernel's per-program
+    keying, so masks are bit-identical to J separate short calls."""
     i = pl.program_id(0)
-    jj = pl.program_id(1)
     q = q_ref[...]
-    k = k_ref[0]
-    v = v_ref[0]
     t = q.shape[1]
-    p, l = _short_recompute(q, k, scale)
-    if rate > 0.0:
-        seed_j = seed_ref[0] + (jj + 1) * _STREAM_SEED_STRIDE
-        keep = _short_keep_mask(seed_j, i, g, (g, t, t), rate, interpret)
-        p = jnp.where(keep, p, 0.0)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    o = (o / (l * (1.0 - rate))).astype(o_ref.dtype)
-
-    @pl.when(jj == 0)
-    def _():
-        o_ref[...] = o
-
-    @pl.when(jj > 0)
-    def _():
-        o_ref[...] = o_ref[...] + o
+    jdim = k_ref.shape[0]
+    acc = None
+    for jj in range(jdim):
+        k = k_ref[jj]
+        v = v_ref[jj]
+        p, l = _short_recompute(q, k, scale)
+        if rate > 0.0:
+            seed_j = seed_ref[0] + np.int32(jj + 1) * _STREAM_SEED_STRIDE
+            keep = _short_keep_mask(seed_j, i, g, (g, t, t), rate, interpret)
+            p = jnp.where(keep, p, 0.0)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) / (l * (1.0 - rate))
+        acc = o if acc is None else acc + o
+    o_ref[...] = acc.astype(o_ref.dtype)
 
 
 def _short_cross_bwd_kernel(
     q_ref, k_ref, v_ref, do_ref, seed_ref, dq_ref, dk_ref, dv_ref,
     *, g: int, scale: float, rate: float, interpret: bool,
 ):
-    """dq (accumulated over streams), dk_j, dv_j in ONE program per (i, j).
+    """dq (summed over streams) and every dk_j/dv_j in ONE program.
 
-    Same math as _short_bwd_kernel per stream; the per-stream output o_j
-    needed for D = rowsum(do ∘ o_j) is RECOMPUTED in f32 from the resident
-    (w, v) — the fused forward never materializes per-stream outputs."""
+    Same math as _short_bwd_kernel per stream with a trace-time stream
+    loop (see the forward); the per-stream output o_j needed for
+    D = rowsum(do ∘ o_j) is RECOMPUTED in f32 from the resident (w, v) —
+    the fused forward never materializes per-stream outputs."""
     i = pl.program_id(0)
-    jj = pl.program_id(1)
     q = q_ref[...]
-    k = k_ref[0]
-    v = v_ref[0]
     do = do_ref[...]
     t = q.shape[1]
+    jdim = k_ref.shape[0]
     inv = 1.0 / (1.0 - rate)
-    p, l = _short_recompute(q, k, scale)
-    if rate > 0.0:
-        seed_j = seed_ref[0] + (jj + 1) * _STREAM_SEED_STRIDE
-        keep = _short_keep_mask(seed_j, i, g, (g, t, t), rate, interpret)
-        w = jnp.where(keep, p, 0.0) * (inv / l)
-    else:
-        w = p / l
-    w = w.astype(v.dtype)
-    o_j = jax.lax.dot_general(  # per-stream forward output, f32
-        w, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    dv = jax.lax.dot_general(  # (g, t_k, hs) = w^T do
-        w, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    dp = jax.lax.dot_general(  # (g, t, t) = do v^T
-        do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    if rate > 0.0:
-        dp = jnp.where(keep, dp, 0.0) * inv
-    d_cap = jnp.sum(do.astype(jnp.float32) * o_j, axis=-1, keepdims=True)
-    ds = ((p / l) * (dp - d_cap)).astype(v.dtype)
-    dq = scale * jax.lax.dot_general(
-        ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    dk_ref[0] = (scale * jax.lax.dot_general(
-        ds, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )).astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
-    dq = dq.astype(dq_ref.dtype)
+    dq_acc = None
+    for jj in range(jdim):
+        k = k_ref[jj]
+        v = v_ref[jj]
+        p, l = _short_recompute(q, k, scale)
+        if rate > 0.0:
+            seed_j = seed_ref[0] + np.int32(jj + 1) * _STREAM_SEED_STRIDE
+            keep = _short_keep_mask(seed_j, i, g, (g, t, t), rate, interpret)
+            w = jnp.where(keep, p, 0.0) * (inv / l)
+        else:
+            w = p / l
+        w = w.astype(v.dtype)
+        o_j = jax.lax.dot_general(  # per-stream forward output, f32
+            w, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dv = jax.lax.dot_general(  # (g, t_k, hs) = w^T do
+            w, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(  # (g, t, t) = do v^T
+            do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        if rate > 0.0:
+            dp = jnp.where(keep, dp, 0.0) * inv
+        d_cap = jnp.sum(do.astype(jnp.float32) * o_j, axis=-1, keepdims=True)
+        ds = ((p / l) * (dp - d_cap)).astype(v.dtype)
+        dq = scale * jax.lax.dot_general(
+            ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dq_acc = dq if dq_acc is None else dq_acc + dq
+        dk_ref[jj] = (scale * jax.lax.dot_general(
+            ds, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )).astype(dk_ref.dtype)
+        dv_ref[jj] = dv.astype(dv_ref.dtype)
+    dq_ref[...] = dq_acc.astype(dq_ref.dtype)
 
-    @pl.when(jj == 0)
-    def _():
-        dq_ref[...] = dq
 
-    @pl.when(jj > 0)
-    def _():
-        dq_ref[...] = dq_ref[...] + dq
+def _short_cross_pick_g(n: int, jdim: int, t: int, hs: int) -> int:
+    """Like _short_pick_g with J resident KV streams per program."""
+    budget = 8 * 1024 * 1024
+    per_row = ((4 + 4 * jdim) * t * hs + 5 * t * t) * 4
+    for g in (64, 32, 16, 8, 4, 2, 1):
+        if n % g == 0 and g * per_row <= budget:
+            return g
+    return 1
 
 
 def _short_cross_fwd_call(q, k, v, seed, g, rate, interpret):
@@ -1436,12 +1441,12 @@ def _short_cross_fwd_call(q, k, v, seed, g, rate, interpret):
         _short_cross_fwd_kernel, g=g, scale=hs ** -0.5, rate=rate,
         interpret=interpret,
     )
-    qspec = pl.BlockSpec((g, t, hs), lambda i, jj: (i, 0, 0))
-    kvspec = pl.BlockSpec((1, g, t, hs), lambda i, jj: (jj, i, 0, 0))
+    qspec = pl.BlockSpec((g, t, hs), lambda i: (i, 0, 0))
+    kvspec = pl.BlockSpec((jdim, g, t, hs), lambda i: (0, i, 0, 0))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        grid=(n // g, jdim),
+        grid=(n // g,),
         in_specs=[qspec, kvspec, kvspec, pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=qspec,
         interpret=interpret,
@@ -1459,8 +1464,8 @@ def _short_cross_bwd_call(q, k, v, do, seed, g, rate, interpret):
         _short_cross_bwd_kernel, g=g, scale=hs ** -0.5, rate=rate,
         interpret=interpret,
     )
-    qspec = pl.BlockSpec((g, t, hs), lambda i, jj: (i, 0, 0))
-    kvspec = pl.BlockSpec((1, g, t, hs), lambda i, jj: (jj, i, 0, 0))
+    qspec = pl.BlockSpec((g, t, hs), lambda i: (i, 0, 0))
+    kvspec = pl.BlockSpec((jdim, g, t, hs), lambda i: (0, i, 0, 0))
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -1468,7 +1473,7 @@ def _short_cross_bwd_call(q, k, v, do, seed, g, rate, interpret):
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ),
-        grid=(n // g, jdim),
+        grid=(n // g,),
         in_specs=[qspec, kvspec, kvspec, qspec,
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(qspec, kvspec, kvspec),
@@ -2073,15 +2078,16 @@ def short_cross_attention(
 ) -> jax.Array:
     """Sum over J KV streams of short fused causal attention — ONE kernel.
 
-    The stream axis rides the grid (innermost), with the output block
-    revisited across streams so the per-stream outputs are never
-    materialized (the J-sequential-calls formulation measured ~1.4 ms/step
-    of the production config's 12 ms — per-call dispatch plus J separate
-    (n,t,hs) intermediates plus the add chain; this form is one op forward,
-    one backward). Per-stream seeds follow the flash-cross convention
-    (seed + (j+1)*_STREAM_SEED_STRIDE), keyed per program exactly like the
-    standalone short kernel, so masks match the unfused formulation
-    bit-for-bit."""
+    Each program holds its row block's q and ALL J KV streams in VMEM and
+    computes the full stream sum with a trace-time loop: one op forward,
+    one backward (dq + every dk_j/dv_j). The J-sequential-calls formulation
+    measured ~1.4 ms/step of the production config's 12 ms (per-call
+    dispatch, J separate (n,t,hs) intermediates, the add chain); a
+    grid-axis-j variant with output revisiting still paid per-(i,j)
+    program overhead and output flushes. Per-stream seeds follow the
+    flash-cross convention (seed + (j+1)*_STREAM_SEED_STRIDE), keyed per
+    program exactly like the standalone short kernel, so masks match the
+    unfused formulation bit-for-bit."""
     rate = float(dropout_rate)
     if rate > 0.0:
         if dropout_key is None:
@@ -2094,9 +2100,9 @@ def short_cross_attention(
     n = 1
     for d in lead:
         n *= d
-    g = _short_pick_g(n, t, hs)
-    q3 = q.reshape(n, t, hs)
     jdim = k.shape[0]
+    g = _short_cross_pick_g(n, jdim, t, hs)
+    q3 = q.reshape(n, t, hs)
     k4 = k.reshape(jdim, n, t, hs)
     v4 = v.reshape(jdim, n, t, hs)
     out = _short_cross3(q3, k4, v4, seed, g, rate, interpret)
