@@ -36,6 +36,7 @@ def make(compute_dtype):
 
 
 class TestBfloat16:
+    @pytest.mark.slow  # ~15 s full-model bf16-vs-f32 sweep
     def test_logits_are_f32_and_close_to_f32_path(self):
         cfg32, params, idx = make("float32")
         cfg16, _, _ = make("bfloat16")
@@ -54,6 +55,7 @@ class TestBfloat16:
         expected = sum(math.log(v) for v in cfg.vocab_sizes)
         assert float(loss) == pytest.approx(expected, abs=0.2)
 
+    @pytest.mark.slow  # ~32 s full-model bf16 grad sweep
     def test_gradients_finite_and_f32(self):
         cfg, params, idx = make("bfloat16")
         grads = jax.grad(lambda p: total_loss(p, cfg, idx, idx, train=False)[0])(params)

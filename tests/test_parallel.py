@@ -127,7 +127,10 @@ class TestShardMapDP:
 
 
 class TestShardedTrainerEquivalence:
-    @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+    @pytest.mark.parametrize(
+        "mesh_shape",
+        [(8, 1), pytest.param((4, 2), marks=pytest.mark.slow)],  # DPxTP ~53 s
+    )
     def test_train_chunk_matches_unsharded(self, devices, mesh_shape):
         """The compiler-partitioned dp x tp trainer must reproduce the
         unsharded Trainer's trajectory: same keys → same batches → same

@@ -66,6 +66,7 @@ class TestPipelineEquivalence:
         )
         np.testing.assert_allclose(float(ref), float(pp), rtol=1e-6)
 
+    @pytest.mark.slow  # ~70 s; the loss-equivalence cases cover the fast tier
     def test_grads_match_sequential(self, cfg, params):
         mesh = _pipe_mesh(4)
         idx, tgt = _batch(cfg)

@@ -67,6 +67,7 @@ class TestTrainSteps:
         assert losses.shape == (60,)
         assert losses[-10:].mean() < losses[:10].mean()
 
+    @pytest.mark.slow  # ~34 s; loss-trajectory behavior also pinned by the e2e demo test
     def test_fused_chunk_matches_eager_loop(self, setup):
         """The scanned 4-step chunk equals a hand-rolled eager optimization
         loop fed the same per-step keys."""
