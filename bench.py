@@ -267,15 +267,21 @@ def bench_long_context():
     the op-level flash-vs-dense fwd+bwd speedup at T=4096."""
     from trade_aid_multimodal_transformer_tpu.ops.attention import causal_attention
 
+    from trade_aid_multimodal_transformer_tpu.models.param_count import (
+        training_flops_per_step,
+    )
+
     results = {}
     for t, batch in ((1024, 8), (4096, 4)):
         cfg, sc = _production_cfg_sc(block_size=t)
         trainer, params, opt_state = _synthetic_trainer(cfg, sc, batch)
         t0 = time.perf_counter()
         sps = _time_steps(trainer, params, opt_state, chunk=10)
-        log(f"long-context T={t} B={batch}: {sps:.1f} steps/s "
-            f"(bench wall {time.perf_counter() - t0:.0f}s)")
+        mfu = sps * training_flops_per_step(cfg, batch) / 197e12 * 100
+        log(f"long-context T={t} B={batch}: {sps:.1f} steps/s, "
+            f"{mfu:.1f}% MFU (bench wall {time.perf_counter() - t0:.0f}s)")
         results[f"T{t}"] = sps
+        results[f"mfu_T{t}"] = mfu
 
     # Op-level flash vs dense at T=4096 (bf16, flagship head shape). The
     # tunneled TPU adds ~25 ms of host dispatch per jitted call — enough to
@@ -396,7 +402,8 @@ def main():
         log(f"production 4-modality: {prod:.1f} steps/s, "
             f"{mfu_pct:.2f}% MFU ({flops/1e9:.2f} GF/step)")
     lc = _guard("long_context", bench_long_context,
-                {"T1024": None, "T4096": None, "flash_speedup": None})
+                {"T1024": None, "T4096": None, "mfu_T1024": None,
+                 "mfu_T4096": None, "flash_speedup": None})
     serve = _guard("serve", bench_serve, None)
     if serve:
         log(f"serve T=1024 (B=16, chunked refresh): {serve:.0f} tok/s")
@@ -441,6 +448,18 @@ def main():
                         "metric": "train_steps_per_sec_T4096",
                         "value": r(lc["T4096"]),
                         "unit": "steps/s",
+                        "vs_baseline": None,
+                    },
+                    {
+                        "metric": "long_context_mfu_T1024",
+                        "value": r(lc.get("mfu_T1024")),
+                        "unit": "%",
+                        "vs_baseline": None,
+                    },
+                    {
+                        "metric": "long_context_mfu_T4096",
+                        "value": r(lc.get("mfu_T4096")),
+                        "unit": "%",
                         "vs_baseline": None,
                     },
                     {

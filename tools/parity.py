@@ -111,9 +111,17 @@ def compare_behavior(ours: dict, ref: dict, failures: list) -> None:
     # Directional accuracies: compare run-level means per (split, modality)
     # with a band wide enough for sampling noise at demo eval sizes but
     # tight enough to catch a broken metric (e.g. inverted signs -> ~100-x).
+    # The step-0 eval is excluded on BOTH sides: at random init the model is
+    # effectively a constant-class predictor whose class depends on the seed
+    # (measured demo step-0 Changes accuracy is bimodal, ~0% or ~90%), so
+    # including it makes the run mean an RNG coin flip, not a behavior check.
+    def trained_mean(vals):
+        vals = vals[1:] if len(vals) > 1 else vals
+        return sum(vals) / len(vals)
+
     for key in sorted(set(ours["directional"]) & set(ref["directional"])):
-        a = sum(ours["directional"][key]) / len(ours["directional"][key])
-        b = sum(ref["directional"][key]) / len(ref["directional"][key])
+        a = trained_mean(ours["directional"][key])
+        b = trained_mean(ref["directional"][key])
         band = 25.0
         split, mod = key
         if abs(a - b) > band:
