@@ -638,6 +638,47 @@ class TestShortKernel:
         for a, b in zip(gk, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
+    def test_cross_transposed_kv_matches_untransposed(self):
+        """short_cross_attention_t: same math as short_cross_attention with
+        k/v logically transposed (J, ..., hs, T) — fwd, grads, and the
+        dropout masks (same per-program/per-stream keying) must agree."""
+        from trade_aid_multimodal_transformer_tpu.ops.pallas_attention import (
+            short_cross_attention_t,
+            short_cross_t_eligible,
+        )
+
+        j, n, t, hs = 3, 2, 64, 16
+        ks = jax.random.split(jax.random.PRNGKey(17), 3)
+        q = jax.random.normal(ks[0], (n, t, hs), jnp.float32)
+        k = jax.random.normal(ks[1], (j, n, t, hs), jnp.float32)
+        v = jax.random.normal(ks[2], (j, n, t, hs), jnp.float32)
+        kT, vT = jnp.swapaxes(k, -1, -2), jnp.swapaxes(v, -1, -2)
+
+        ref = causal_attention_jnp(q[None], k, v).sum(axis=0)
+        out = short_cross_attention_t(q, kT, vT, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+        key = jax.random.PRNGKey(23)
+        rate = 0.2
+        f_t = lambda q, kT, vT: (short_cross_attention_t(  # noqa: E731
+            q, kT, vT, interpret=True, dropout_rate=rate, dropout_key=key
+        ) ** 2).sum()
+        f_a = lambda q, k, v: (short_cross_attention(  # noqa: E731
+            q, k, v, interpret=True, dropout_rate=rate, dropout_key=key
+        ) ** 2).sum()
+        gt = jax.grad(f_t, argnums=(0, 1, 2))(q, kT, vT)
+        ga = jax.grad(f_a, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(np.asarray(gt[0]), np.asarray(ga[0]), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(jnp.swapaxes(gt[1], -1, -2)), np.asarray(ga[1]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(jnp.swapaxes(gt[2], -1, -2)), np.asarray(ga[2]), atol=1e-5
+        )
+        assert short_cross_t_eligible(64, 16)
+        assert not short_cross_t_eligible(4, 16)
+        assert not short_cross_t_eligible(64, 12)
+
     def test_eligibility_bands(self):
         mk = lambda t, hs=16: jnp.zeros((2, t, hs))  # noqa: E731
         assert short_attention_eligible(mk(8), mk(8), mk(8))

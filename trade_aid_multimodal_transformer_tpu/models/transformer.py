@@ -38,6 +38,7 @@ from ..ops.attention import (
     causal_attention,
     causal_attention_packed,
     cross_causal_attention,
+    cross_t_attention_active,
     fused_qkv_attention_active,
     packed_attention_active,
 )
@@ -141,8 +142,9 @@ def _proj_mlp_heads(
             _mm(eq, att, w1r) + b1.astype(dt)[:, None, None, :]
         )
         return _mm("mbtc,mcd->mbtd", t, w2) + b2.astype(dt)[:, None, None, :]
-    w1r = w1.reshape(H, hs, w1.shape[-1])  # att (B,H,T,hs)
-    t = jnp.tanh(_mm("bhte,hec->btc", att, w1r) + b1.astype(dt))
+    w1r = w1.reshape(H, hs, w1.shape[-1])  # att (B,H,T,hs) / (H,B,T,hs)
+    eq = "hbte,hec->btc" if head_major else "bhte,hec->btc"
+    t = jnp.tanh(_mm(eq, att, w1r) + b1.astype(dt))
     return _mm("btc,cd->btd", t, w2) + b2.astype(dt)
 
 
@@ -226,12 +228,38 @@ def cross_attention(
     """
     B, T, C = query_x.shape
     H, hs = cfg.n_head, cfg.head_size
+    hs_q = cp["q_w"].shape[-1]
+
+    if cross_t_attention_active(T, hs_q, cfg.attn_impl):
+        # short-T TPU path: emit q head-major and k/v in the projection
+        # einsum's NATURAL layout — logical (J,H,B,hs,T), whose standard
+        # layout is the physical form XLA's dot prefers — and hand them to
+        # the transposed-KV kernel. The untransposed contract forces a
+        # relayout copy per k/v tensor per layer between the einsum and the
+        # kernel (measured ~310 us/step, production config).
+        from ..ops.pallas_attention import short_cross_attention_t
+
+        q = _mm("btc,hce->hbte", query_x, cp["q_w"])              # (H,B,T,hs)
+        kT = _mm("jbtc,jhcf->jhbft", kv_x, cp["kv_w"][..., :hs_q])
+        vT = _mm("jbtc,jhcf->jhbft", kv_x, cp["kv_w"][..., hs_q:])
+        use_dropout = train and cfg.dropout > 0.0
+        k_att = keys()  # consume the site unconditionally (stable numbering)
+        att = short_cross_attention_t(
+            q, kT, vT,
+            dropout_rate=cfg.dropout if use_dropout else 0.0,
+            dropout_key=k_att if use_dropout else None,
+        )  # (H, B, T, hs)
+        out = _proj_mlp_heads(
+            att, cp["proj_w1"], cp["proj_b1"], cp["proj_w2"], cp["proj_b2"],
+            H, hs, head_major=True,
+        )
+        return dropout(out, cfg.dropout, keys(), train)
 
     q = _mm("btc,hce->bhte", query_x, cp["q_w"])          # (B,H,T,hs)
     # split the WEIGHT (cheap) instead of slicing the (J,B,H,T,2hs)
     # activation in half — avoids two big activation copies per layer
-    k = _mm("jbtc,jhcf->jbhtf", kv_x, cp["kv_w"][..., : cp["q_w"].shape[-1]])
-    v = _mm("jbtc,jhcf->jbhtf", kv_x, cp["kv_w"][..., cp["q_w"].shape[-1] :])
+    k = _mm("jbtc,jhcf->jbhtf", kv_x, cp["kv_w"][..., :hs_q])
+    v = _mm("jbtc,jhcf->jbhtf", kv_x, cp["kv_w"][..., hs_q:])
 
     # One query stream against J KV streams, summed over J (reference:
     # model.py:158) — fused in-kernel on TPU when shapes are eligible.

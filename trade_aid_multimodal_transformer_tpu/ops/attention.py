@@ -294,6 +294,18 @@ def fused_qkv_attention_active(t: int, hs: int, impl: str = "auto") -> bool:
     return fused_qkv_eligible(t, hs)
 
 
+def cross_t_attention_active(t: int, hs: int, impl: str = "auto") -> bool:
+    """True when cross-attention will take the transposed-KV short kernel
+    (ops/pallas_attention.short_cross_attention_t) — the model checks this
+    at trace time to emit the KV projection in its einsum-natural
+    (J, B, H, hs, T) form instead of paying a relayout copy per tensor."""
+    if impl not in ("auto", "pallas") or _CP_SCOPE is not None or not _on_tpu():
+        return False
+    from .pallas_attention import short_cross_t_eligible
+
+    return short_cross_t_eligible(t, hs)
+
+
 def causal_attention_packed(
     qkv: jax.Array,
     n_head: int,

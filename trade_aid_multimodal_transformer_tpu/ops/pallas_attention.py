@@ -1129,6 +1129,25 @@ def _short_recompute(q, k, scale: float):
     return p, l
 
 
+def _short_recompute_t(q, kT, scale: float):
+    """``_short_recompute`` for a TRANSPOSED key block kT: (g, hs, t_k).
+
+    The scores dot contracts q's minor dim against kT's sublane dim — the
+    MXU-native NN form — so no in-VMEM relayout of k is needed at all."""
+    g, t, _ = q.shape
+    s = jax.lax.dot_general(
+        q, kT, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    rows = jax.lax.broadcasted_iota(jnp.int32, (g, t, t), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (g, t, t), 2)
+    s = jnp.where(rows >= cols, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    return p, l
+
+
 def _short_fwd_kernel(
     q_ref, k_ref, v_ref, seed_ref, o_ref,
     *, g: int, scale: float, rate: float, interpret: bool,
@@ -1333,7 +1352,7 @@ def short_causal_attention(
 
 def _short_cross_fwd_kernel(
     q_ref, k_ref, v_ref, seed_ref, o_ref,
-    *, g: int, scale: float, rate: float, interpret: bool,
+    *, g: int, scale: float, rate: float, interpret: bool, kv_t: bool = False,
 ):
     """ALL KV streams' whole-row attention, summed, in ONE program.
 
@@ -1345,7 +1364,14 @@ def _short_cross_fwd_kernel(
     flush/refetch and amortizes the per-program overhead over J streams).
     Per-stream dropout seeds follow the flash-cross convention
     (seed + (j+1)·stride) with the standalone short kernel's per-program
-    keying, so masks are bit-identical to J separate short calls."""
+    keying, so masks are bit-identical to J separate short calls.
+
+    ``kv_t=True`` takes k/v blocks TRANSPOSED — (jdim, g, hs, t) — and
+    relayouts them in VMEM (a batched last-two-dim transpose, ~free on
+    Mosaic). The transposed HBM layout is the one the model's KV projection
+    einsum produces naturally, so accepting it deletes a physical relayout
+    copy per tensor per layer that XLA otherwise inserts between the einsum
+    and this kernel (measured ~310 us/step on the production config)."""
     i = pl.program_id(0)
     q = q_ref[...]
     t = q.shape[1]
@@ -1354,14 +1380,21 @@ def _short_cross_fwd_kernel(
     for jj in range(jdim):
         k = k_ref[jj]
         v = v_ref[jj]
-        p, l = _short_recompute(q, k, scale)
+        if kv_t:
+            p, l = _short_recompute_t(q, k, scale)
+        else:
+            p, l = _short_recompute(q, k, scale)
         if rate > 0.0:
             seed_j = seed_ref[0] + np.int32(jj + 1) * _STREAM_SEED_STRIDE
             keep = _short_keep_mask(seed_j, i, g, (g, t, t), rate, interpret)
             p = jnp.where(keep, p, 0.0)
+        # kv_t: v block is (g, hs, t_k) — contract t_k on both (NT form;
+        # Mosaic relayouts the stationary operand in-VMEM, measured cheaper
+        # than an explicit batched transpose + NN dot)
+        o_dims = (((2,), (2,)), ((0,), (0,))) if kv_t else (((2,), (1,)), ((0,), (0,)))
         o = jax.lax.dot_general(
             p.astype(v.dtype), v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            dimension_numbers=o_dims,
             preferred_element_type=jnp.float32,
         ) / (l * (1.0 - rate))
         acc = o if acc is None else acc + o
@@ -1370,14 +1403,19 @@ def _short_cross_fwd_kernel(
 
 def _short_cross_bwd_kernel(
     q_ref, k_ref, v_ref, do_ref, seed_ref, dq_ref, dk_ref, dv_ref,
-    *, g: int, scale: float, rate: float, interpret: bool,
+    *, g: int, scale: float, rate: float, interpret: bool, kv_t: bool = False,
 ):
     """dq (summed over streams) and every dk_j/dv_j in ONE program.
 
     Same math as _short_bwd_kernel per stream with a trace-time stream
-    loop (see the forward); the per-stream output o_j needed for
-    D = rowsum(do ∘ o_j) is RECOMPUTED in f32 from the resident (w, v) —
-    the fused forward never materializes per-stream outputs."""
+    loop (see the forward); the per-stream D = rowsum(do ∘ o_j) is obtained
+    as rowsum(w ∘ (do v^T)) from operands already resident — the fused
+    forward never materializes per-stream outputs and the identity saves
+    recomputing each o_j with a (t, t, hs) dot.
+
+    ``kv_t=True`` mirrors the forward's transposed-KV contract: k/v blocks
+    arrive (jdim, g, hs, t) and dk/dv are STORED transposed, so the
+    KV-projection einsum's backward consumes them without a relayout."""
     i = pl.program_id(0)
     q = q_ref[...]
     do = do_ref[...]
@@ -1388,7 +1426,10 @@ def _short_cross_bwd_kernel(
     for jj in range(jdim):
         k = k_ref[jj]
         v = v_ref[jj]
-        p, l = _short_recompute(q, k, scale)
+        if kv_t:
+            p, l = _short_recompute_t(q, k, scale)
+        else:
+            p, l = _short_recompute(q, k, scale)
         if rate > 0.0:
             seed_j = seed_ref[0] + np.int32(jj + 1) * _STREAM_SEED_STRIDE
             keep = _short_keep_mask(seed_j, i, g, (g, t, t), rate, interpret)
@@ -1396,31 +1437,53 @@ def _short_cross_bwd_kernel(
         else:
             w = p / l
         w = w.astype(v.dtype)
-        o_j = jax.lax.dot_general(  # per-stream forward output, f32
-            w, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        # dp_raw = do v^T, UNMASKED. kv_t: v is (g, hs, t_k), contract hs —
+        # the MXU-native NN form; untransposed contracts the two minor dims.
+        dp_dims = (((2,), (1,)), ((0,), (0,))) if kv_t else (((2,), (2,)), ((0,), (0,)))
+        dp_raw = jax.lax.dot_general(
+            do, v, dimension_numbers=dp_dims,
             preferred_element_type=jnp.float32,
         )
-        dv = jax.lax.dot_general(  # (g, t_k, hs) = w^T do
-            w, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+        # D = rowsum(do ∘ o_j) without recomputing o_j: since o_j = w v,
+        # rowsum_e(do ∘ (w v)) = rowsum_k(w ∘ (do v^T)) = rowsum(w ∘ dp_raw)
+        # — saves a whole (t, t, hs) dot per stream (the fused forward never
+        # materializes per-stream outputs, so o_j used to be recomputed).
+        d_cap = jnp.sum(
+            w.astype(jnp.float32) * dp_raw, axis=-1, keepdims=True
         )
-        dp = jax.lax.dot_general(  # (g, t, t) = do v^T
-            do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        if rate > 0.0:
-            dp = jnp.where(keep, dp, 0.0) * inv
-        d_cap = jnp.sum(do.astype(jnp.float32) * o_j, axis=-1, keepdims=True)
+        dp = jnp.where(keep, dp_raw, 0.0) * inv if rate > 0.0 else dp_raw
         ds = ((p / l) * (dp - d_cap)).astype(v.dtype)
-        dq = scale * jax.lax.dot_general(
-            ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
+        if kv_t:
+            # dq = scale * ds k with kT resident: contract t_k on both (NT)
+            dq = scale * jax.lax.dot_general(
+                ds, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            # transposed grads written DIRECTLY — operand order swapped in
+            # the same TN dots, no in-VMEM transpose of the results
+            dk = scale * jax.lax.dot_general(  # (g, hs, t_k) = (ds^T q)^T
+                q, ds, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            dv = jax.lax.dot_general(  # (g, hs, t_k) = (w^T do)^T
+                do, w, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            dq = scale * jax.lax.dot_general(
+                ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            dk = scale * jax.lax.dot_general(
+                ds, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            dv = jax.lax.dot_general(  # (g, t_k, hs) = w^T do
+                w, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
         dq_acc = dq if dq_acc is None else dq_acc + dq
-        dk_ref[jj] = (scale * jax.lax.dot_general(
-            ds, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )).astype(dk_ref.dtype)
+        dk_ref[jj] = dk.astype(dk_ref.dtype)
         dv_ref[jj] = dv.astype(dv_ref.dtype)
     dq_ref[...] = dq_acc.astype(dq_ref.dtype)
 
@@ -1435,14 +1498,18 @@ def _short_cross_pick_g(n: int, jdim: int, t: int, hs: int) -> int:
     return 1
 
 
-def _short_cross_fwd_call(q, k, v, seed, g, rate, interpret):
-    jdim, n, t, hs = k.shape
+def _short_cross_fwd_call(q, k, v, seed, g, rate, interpret, kv_t=False):
+    if kv_t:
+        jdim, n, hs, t = k.shape
+    else:
+        jdim, n, t, hs = k.shape
     kernel = functools.partial(
         _short_cross_fwd_kernel, g=g, scale=hs ** -0.5, rate=rate,
-        interpret=interpret,
+        interpret=interpret, kv_t=kv_t,
     )
     qspec = pl.BlockSpec((g, t, hs), lambda i: (i, 0, 0))
-    kvspec = pl.BlockSpec((jdim, g, t, hs), lambda i: (0, i, 0, 0))
+    kvblk = (jdim, g, hs, t) if kv_t else (jdim, g, t, hs)
+    kvspec = pl.BlockSpec(kvblk, lambda i: (0, i, 0, 0))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -1458,14 +1525,18 @@ def _short_cross_fwd_call(q, k, v, seed, g, rate, interpret):
     )(q, k, v, seed)
 
 
-def _short_cross_bwd_call(q, k, v, do, seed, g, rate, interpret):
-    jdim, n, t, hs = k.shape
+def _short_cross_bwd_call(q, k, v, do, seed, g, rate, interpret, kv_t=False):
+    if kv_t:
+        jdim, n, hs, t = k.shape
+    else:
+        jdim, n, t, hs = k.shape
     kernel = functools.partial(
         _short_cross_bwd_kernel, g=g, scale=hs ** -0.5, rate=rate,
-        interpret=interpret,
+        interpret=interpret, kv_t=kv_t,
     )
     qspec = pl.BlockSpec((g, t, hs), lambda i: (i, 0, 0))
-    kvspec = pl.BlockSpec((jdim, g, t, hs), lambda i: (0, i, 0, 0))
+    kvblk = (jdim, g, hs, t) if kv_t else (jdim, g, t, hs)
+    kvspec = pl.BlockSpec(kvblk, lambda i: (0, i, 0, 0))
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -1503,6 +1574,27 @@ def _short_cross3_bwd(g, rate, interpret, res, grad):
 
 
 _short_cross3.defvjp(_short_cross3_fwd, _short_cross3_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _short_cross3_t(q, kT, vT, seed, g, rate, interpret):
+    return _short_cross_fwd_call(q, kT, vT, seed, g, rate, interpret, kv_t=True)
+
+
+def _short_cross3_t_fwd(q, kT, vT, seed, g, rate, interpret):
+    out = _short_cross_fwd_call(q, kT, vT, seed, g, rate, interpret, kv_t=True)
+    return out, (q, kT, vT, seed)
+
+
+def _short_cross3_t_bwd(g, rate, interpret, res, grad):
+    q, kT, vT, seed = res
+    dq, dkT, dvT = _short_cross_bwd_call(
+        q, kT, vT, grad, seed, g, rate, interpret, kv_t=True
+    )
+    return dq, dkT, dvT, None
+
+
+_short_cross3_t.defvjp(_short_cross3_t_fwd, _short_cross3_t_bwd)
 
 
 # ------------------------------------- fused QKV-projection + attention kernel
@@ -2106,6 +2198,59 @@ def short_cross_attention(
     k4 = k.reshape(jdim, n, t, hs)
     v4 = v.reshape(jdim, n, t, hs)
     out = _short_cross3(q3, k4, v4, seed, g, rate, interpret)
+    return out.reshape(*lead, t, hs)
+
+
+def short_cross_t_eligible(t: int, hs: int) -> bool:
+    """Shape-only eligibility for the transposed-KV short cross kernel —
+    callable at model trace time BEFORE the projections are emitted (the
+    point of the transposed contract is to change what the model emits)."""
+    if t < SHORT_MIN_SEQ_LEN or t > SHORT_MAX_SEQ_LEN or t % 8 != 0:
+        return False
+    return hs % 8 == 0 and hs <= 256
+
+
+def short_cross_attention_t(
+    q: jax.Array,
+    kT: jax.Array,
+    vT: jax.Array,
+    interpret: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """``short_cross_attention`` with k/v accepted TRANSPOSED: (J, ..., hs, T).
+
+    The model's KV-projection einsum naturally produces its output with the
+    sequence axis minor (XLA layout {3,4,1,2,0} on the (J,B,H,T,hs) logical
+    shape); the standard-layout contract of the untransposed kernel forces a
+    physical relayout copy per k/v tensor per layer. Accepting the logical
+    transpose makes the einsum's natural layout THE kernel input layout, and
+    the backward symmetrically hands the einsum's grad the layout it wants.
+    In-kernel, blocks relayout with a batched last-two-dim transpose (~free
+    on Mosaic — see TECHNICAL_NOTES "Mosaic layout rules").
+
+    Same dropout keying as ``short_cross_attention`` per (program, stream);
+    with identical row collapse order the two are bit-identical."""
+    rate = float(dropout_rate)
+    if rate > 0.0:
+        if dropout_key is None:
+            raise ValueError("dropout_rate > 0 requires dropout_key")
+        seed = seed_from_key(dropout_key)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    lead = q.shape[:-2]
+    t, hs = q.shape[-2], q.shape[-1]
+    if kT.shape != vT.shape or kT.shape[1:] != (*lead, hs, t):
+        raise ValueError(f"transposed kv shape mismatch: {kT.shape} vs q {q.shape}")
+    n = 1
+    for d in lead:
+        n *= d
+    jdim = kT.shape[0]
+    g = _short_cross_pick_g(n, jdim, t, hs)
+    q3 = q.reshape(n, t, hs)
+    k4 = kT.reshape(jdim, n, hs, t)
+    v4 = vT.reshape(jdim, n, hs, t)
+    out = _short_cross3_t(q3, k4, v4, seed, g, rate, interpret)
     return out.reshape(*lead, t, hs)
 
 
