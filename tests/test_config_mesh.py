@@ -201,6 +201,17 @@ def test_mesh_data8_loss_equivalent(demo_workdir, capsys):
     _check_losses(result, dict(oracle["losses"]), tol=1e-3)
 
 
+def test_fsdp_loss_equivalent(demo_workdir, oracle_losses, capsys):
+    """tpu_options.fsdp (ZeRO-3 param+optimizer sharding over 'data') from
+    the zero-flag config surface: trajectory identical to single-device."""
+    result = _run_with_tpu_options(
+        demo_workdir, "tpu_options:\n  mesh:\n    data: 4\n  fsdp: true\n"
+    )
+    out = capsys.readouterr().out
+    assert "Parallelism: data x4 (fsdp/zero-3) over 4 devices" in out
+    _check_losses(result, oracle_losses, tol=1e-3)
+
+
 def test_mesh_auto_engages_multi_device(demo_workdir, capsys):
     result = _run_with_tpu_options(demo_workdir, "")  # default mesh: auto
     out = capsys.readouterr().out

@@ -309,3 +309,132 @@ class TestModalityParallel:
         assert all(
             s.data.shape == h_w2.shape for s in h_w2.addressable_shards
         )
+
+class TestFSDP:
+    """FSDP / ZeRO-3 (tpu_options.fsdp): params and Adam moments shard over
+    the 'data' axis (mesh.param_pspecs fsdp placement). The reference has no
+    distributed training at all (SURVEY §2.4); the semantics to reproduce
+    are still the single-device trainer's — FSDP must change WHERE the state
+    lives, never the trajectory."""
+
+    def test_train_chunk_matches_unsharded(self, devices):
+        cfg = _cfg()
+        feed = _feed(cfg)
+        optimizer = make_optimizer(1e-3)
+        specs = _specs(cfg)
+        mesh = make_mesh(N_DEV, 1, devices)
+
+        base = Trainer(cfg, feed, optimizer, specs, eval_iters=2)
+        p0 = init_params(jax.random.PRNGKey(0), cfg)
+        o0 = optimizer.init(p0)
+        p_ref, o_ref, losses_ref = base.train_chunk(
+            p0, o0, jax.random.PRNGKey(1), 3
+        )
+
+        sharded = make_sharded_trainer(
+            cfg, feed, optimizer, specs, 2, mesh, model_axis=False
+        )
+        p1 = init_params(jax.random.PRNGKey(0), cfg)
+        p1, o1 = shard_train_state(
+            p1, optimizer, mesh, cfg.n_head, model_axis=False, fsdp=True
+        )
+        p_sh, o_sh, losses_sh = sharded.train_chunk(
+            p1, o1, jax.random.PRNGKey(1), 3
+        )
+        np.testing.assert_allclose(
+            np.asarray(losses_ref), np.asarray(losses_sh), rtol=1e-5, atol=1e-6
+        )
+        for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sh)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+            )
+
+    def test_params_and_moments_physically_sharded(self, devices):
+        """Each big leaf — and its mu/nu moments — must physically hold
+        1/data of the full array per device, and the carry must keep that
+        layout across train_chunk (no silent re-replication)."""
+        cfg = _cfg()
+        optimizer = make_optimizer(1e-3)
+        mesh = make_mesh(N_DEV, 1, devices)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        params, opt_state = shard_train_state(
+            params, optimizer, mesh, cfg.n_head, model_axis=False, fsdp=True
+        )
+
+        def assert_fsdp_sharded(leaf, what):
+            shapes = {s.data.shape for s in leaf.addressable_shards}
+            assert len(leaf.sharding.device_set) == N_DEV, what
+            full = int(np.prod(leaf.shape))
+            assert all(int(np.prod(s)) == full // N_DEV for s in shapes), (
+                f"{what}: shards {shapes} are not 1/{N_DEV} of {leaf.shape}"
+            )
+
+        w1 = params["blocks"][0]["ffwd"]["w1"]  # (M, C, 4C): 4C % 8 == 0
+        assert_fsdp_sharded(w1, "param ffwd.w1")
+        mu = opt_state[0].mu["blocks"][0]["ffwd"]["w1"]
+        nu = opt_state[0].nu["blocks"][0]["ffwd"]["w1"]
+        assert_fsdp_sharded(mu, "adam mu ffwd.w1")
+        assert_fsdp_sharded(nu, "adam nu ffwd.w1")
+
+        feed = _feed(cfg)
+        trainer = make_sharded_trainer(
+            cfg, feed, optimizer, _specs(cfg), 2, mesh, model_axis=False
+        )
+        p1, o1, _ = trainer.train_chunk(params, opt_state, jax.random.PRNGKey(1), 2)
+        assert_fsdp_sharded(p1["blocks"][0]["ffwd"]["w1"], "post-step param")
+        assert_fsdp_sharded(o1[0].mu["blocks"][0]["ffwd"]["w1"], "post-step mu")
+
+    def test_pspecs_compose_with_model_axis(self):
+        """fsdp adds 'data' only on still-free dims; 'model' placements are
+        untouched and leaves with no divisible free dim stay replicated."""
+        cfg = _cfg()
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        specs = param_pspecs(
+            params, cfg.n_head, model_axis=True, model_size=2, fsdp_size=4
+        )
+        w1 = specs["blocks"][0]["ffwd"]["w1"]  # (M=2, C=32, 4C=128)
+        dims = list(w1) + [None] * (3 - len(w1))
+        assert dims[-1] == "model"           # column-parallel kept
+        assert "data" in dims[:2]            # fsdp on a remaining dim (C=32)
+        # pos_emb (T=8, C=32): free and divisible -> fsdp'd over C
+        pos = specs["pre"]["pos_emb"]
+        assert "data" in tuple(pos)
+        # scalars / tiny norms with no divisible dim stay replicated:
+        # ln1 scale is (M=2, C=32) -> C divides 4, so it IS sharded; check a
+        # genuinely indivisible leaf instead (vocab head b2, V=11 prime-ish)
+        cfg2 = _cfg(vocab_sizes=(48, 11))
+        params2 = init_params(jax.random.PRNGKey(0), cfg2)
+        specs2 = param_pspecs(
+            params2, cfg2.n_head, model_axis=False, fsdp_size=8
+        )
+        assert specs2["post"]["heads"][1]["b2"] == P()  # (11,) % 8 != 0
+
+
+class TestTrainStateMemory:
+    """utils/memory: per-device footprint must reflect the sharding — the
+    capacity number that decides whether a model needs fsdp or more chips."""
+
+    def test_fsdp_shrinks_per_device_bytes(self, devices):
+        from trade_aid_multimodal_transformer_tpu.utils.memory import (
+            train_state_bytes,
+        )
+
+        cfg = _cfg()
+        optimizer = make_optimizer(1e-3)
+        mesh = make_mesh(N_DEV, 1, devices)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+
+        p_rep, o_rep = shard_train_state(
+            params, optimizer, mesh, cfg.n_head, model_axis=False, fsdp=False
+        )
+        t_rep, d_rep = train_state_bytes(p_rep, o_rep)
+        assert d_rep == t_rep  # pure DP replicates the whole state
+
+        p_fs, o_fs = shard_train_state(
+            init_params(jax.random.PRNGKey(0), cfg), optimizer, mesh,
+            cfg.n_head, model_axis=False, fsdp=True,
+        )
+        t_fs, d_fs = train_state_bytes(p_fs, o_fs)
+        assert t_fs == t_rep            # same logical state
+        # most leaves divide by 8; a few tiny/odd ones replicate
+        assert d_fs < t_fs * 0.30, (d_fs, t_fs)

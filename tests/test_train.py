@@ -350,3 +350,152 @@ class TestScanUnroll:
         assert sc.scan_unroll == 4
         with pytest.raises(ValueError, match="scan_unroll"):
             SystemConfig.from_dict({"tpu_options": {"scan_unroll": 0}})
+
+
+class TestGradAccum:
+    """tpu_options.grad_accum: each optimizer step averages gradients over
+    N independent microbatch draws (effective batch = N x batch_size). The
+    accumulated step must equal the hand-computed mean-gradient update."""
+
+    def test_matches_manual_microbatch_mean(self, setup):
+        import optax
+
+        from trade_aid_multimodal_transformer_tpu.models.transformer import (
+            total_loss,
+        )
+        from trade_aid_multimodal_transformer_tpu.train.steps import to_impl_key
+
+        cfg, feed, trainer, params, opt = setup
+        tr2 = Trainer(
+            cfg, feed, opt, trainer.metric_specs, eval_iters=3, grad_accum=2
+        )
+        p_acc, o_acc, loss_acc = tr2.train_chunk(
+            fresh(params), opt.init(fresh(params)), jax.random.PRNGKey(3), 1
+        )
+
+        # Manual replay: the chunk splits its (typed) key into one step key,
+        # then grad_accum microbatch keys, each split into (batch, dropout).
+        key = to_impl_key(jax.random.PRNGKey(3), "auto")
+        (step_key,) = jax.random.split(key, 1)
+        grads_sum, loss_sum = None, 0.0
+        for mk in jax.random.split(step_key, 2):
+            k_batch, k_drop = jax.random.split(mk)
+            xb, yb = feed._sample_impl(k_batch, split="train", augment=True)
+            (loss, _), grads = jax.value_and_grad(total_loss, has_aux=True)(
+                params, cfg, xb, yb, k_drop, True
+            )
+            loss_sum += float(loss)
+            grads_sum = (
+                grads if grads_sum is None
+                else jax.tree.map(jnp.add, grads_sum, grads)
+            )
+        grads_mean = jax.tree.map(lambda g: g * 0.5, grads_sum)
+        o0 = opt.init(fresh(params))
+        updates, _ = opt.update(grads_mean, o0, params)
+        p_ref = optax.apply_updates(params, updates)
+
+        assert float(loss_acc[0]) == pytest.approx(loss_sum / 2, abs=1e-5)
+        for a, b in zip(jax.tree.leaves(p_acc), jax.tree.leaves(p_ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+
+    def test_config_surface(self):
+        from trade_aid_multimodal_transformer_tpu.config.system import SystemConfig
+
+        sc = SystemConfig.from_dict({"tpu_options": {"grad_accum": 4}})
+        assert sc.grad_accum == 4
+        assert sc.to_dict()["tpu_options"]["grad_accum"] == 4
+        with pytest.raises(ValueError, match="grad_accum"):
+            SystemConfig.from_dict({"tpu_options": {"grad_accum": 0}})
+
+
+class TestLRSchedule:
+    """tpu_options.lr_schedule: warmup+decay schedules on top of the
+    reference-default constant lr (None = constant, reference: main.py:464)."""
+
+    def test_cosine_shape(self):
+        from trade_aid_multimodal_transformer_tpu.train.steps import (
+            build_lr_schedule,
+        )
+
+        s = build_lr_schedule(
+            1e-3, {"type": "cosine", "warmup_steps": 10,
+                   "decay_steps": 100, "min_lr_ratio": 0.1}
+        )
+        assert float(s(0)) == pytest.approx(0.0, abs=1e-9)
+        assert float(s(10)) == pytest.approx(1e-3, rel=1e-6)
+        assert float(s(100)) == pytest.approx(1e-4, rel=1e-4)
+        # monotone decay after warmup
+        assert float(s(30)) > float(s(60)) > float(s(99))
+
+    def test_linear_and_constant(self):
+        from trade_aid_multimodal_transformer_tpu.train.steps import (
+            build_lr_schedule,
+        )
+
+        lin = build_lr_schedule(
+            2e-3, {"type": "linear", "warmup_steps": 4, "decay_steps": 14}
+        )
+        assert float(lin(4)) == pytest.approx(2e-3, rel=1e-6)
+        assert float(lin(9)) == pytest.approx(1e-3, rel=1e-4)  # halfway
+        const = build_lr_schedule(
+            2e-3, {"type": "constant", "warmup_steps": 4, "decay_steps": 8}
+        )
+        assert float(const(2)) == pytest.approx(1e-3, rel=1e-4)
+        assert float(const(100)) == pytest.approx(2e-3, rel=1e-6)
+
+    def test_none_is_reference_constant(self):
+        from trade_aid_multimodal_transformer_tpu.train.steps import (
+            build_lr_schedule,
+        )
+
+        assert build_lr_schedule(1e-3, None) == 1e-3
+
+    def test_lowmem_adam_matches_optax_with_schedule(self):
+        """The bf16-nu AdamW clone must follow optax.adamw given the SAME
+        schedule callable (schedule evaluated at pre-increment count)."""
+        import optax
+
+        from trade_aid_multimodal_transformer_tpu.train.steps import (
+            _adamw_lowmem, build_lr_schedule,
+        )
+
+        spec = {"type": "cosine", "warmup_steps": 2, "decay_steps": 10}
+        sched = build_lr_schedule(1e-2, spec)
+        ref = optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
+        mine = _adamw_lowmem(
+            sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01,
+            mu_dtype=jnp.float32, nu_dtype=jnp.float32,
+        )
+        params = {"w": jnp.linspace(-1, 1, 8), "b": jnp.ones((3,))}
+        s_ref, s_me = ref.init(params), mine.init(params)
+        p_ref, p_me = params, params
+        key = jax.random.PRNGKey(0)
+        for i in range(6):
+            key, sub = jax.random.split(key)
+            g = jax.tree.map(
+                lambda p: jax.random.normal(sub, p.shape), p_ref
+            )
+            u_ref, s_ref = ref.update(g, s_ref, p_ref)
+            p_ref = optax.apply_updates(p_ref, u_ref)
+            u_me, s_me = mine.update(g, s_me, p_me)
+            p_me = optax.apply_updates(p_me, u_me)
+        for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_me)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    def test_config_surface(self):
+        from trade_aid_multimodal_transformer_tpu.config.system import SystemConfig
+
+        sc = SystemConfig.from_dict({"tpu_options": {"lr_schedule": {
+            "type": "cosine", "warmup_steps": 100, "min_lr_ratio": 0.1}}})
+        assert sc.lr_schedule["type"] == "cosine"
+        assert sc.to_dict()["tpu_options"]["lr_schedule"]["warmup_steps"] == 100
+        with pytest.raises(ValueError, match="lr_schedule.type"):
+            SystemConfig.from_dict(
+                {"tpu_options": {"lr_schedule": {"type": "exponential"}}}
+            )
+        with pytest.raises(ValueError, match="unknown lr_schedule"):
+            SystemConfig.from_dict(
+                {"tpu_options": {"lr_schedule": {"peak": 1}}}
+            )

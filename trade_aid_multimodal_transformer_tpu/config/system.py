@@ -77,6 +77,14 @@ class SystemConfig:
     adam_moment_dtype: str = "float32"  # 'float32' | 'bfloat16' (Adam mu)
     adam_nu_dtype: str = "float32"   # 'float32' | 'bfloat16' (Adam nu)
     scan_unroll: int = 1             # train-chunk lax.scan unroll factor
+    # Gradient accumulation: average gradients over this many microbatch
+    # draws per optimizer step (effective batch = grad_accum x batch_size
+    # at single-batch activation memory). 1 = reference semantics.
+    grad_accum: int = 1
+    # Optional LR schedule (train/steps.build_lr_schedule): None keeps the
+    # reference's constant lr; a mapping {type: cosine|linear|constant,
+    # warmup_steps, decay_steps (default max_iters), min_lr_ratio}.
+    lr_schedule: Any = None
     # Context parallelism: shard the attention sequence axis over this many
     # devices (ring attention, parallel/ring_attention.py). 1 = off.
     context_parallel: int = 1
@@ -85,6 +93,10 @@ class SystemConfig:
     # single device; an int N = {data: N}; or a mapping with axes
     # {data, model, mod, pipe}. Composes with context_parallel ('seq').
     mesh: Any = "auto"
+    # FSDP / ZeRO-3: shard parameters and optimizer state over the mesh's
+    # 'data' axis (parallel/mesh.py param_pspecs) — per-device train-state
+    # memory scales 1/data. No-op when the resolved data axis is 1.
+    fsdp: bool = False
     # GPipe microbatch count when mesh.pipe > 1 (parallel/pipeline.py).
     pipeline_microbatches: int = 4
     # MXU matmul precision for f32 operands: 'default' = native bf16
@@ -169,6 +181,43 @@ class SystemConfig:
             raise ValueError(
                 f"scan_unroll must be a positive integer, got {self.scan_unroll!r}"
             )
+        if not isinstance(self.grad_accum, int) or self.grad_accum < 1:
+            raise ValueError(
+                f"grad_accum must be a positive integer, got {self.grad_accum!r}"
+            )
+        if self.lr_schedule is not None:
+            if not isinstance(self.lr_schedule, dict):
+                raise ValueError(
+                    f"lr_schedule must be a mapping, got {self.lr_schedule!r}"
+                )
+            unknown = set(self.lr_schedule) - {
+                "type", "warmup_steps", "decay_steps", "min_lr_ratio"
+            }
+            if unknown:
+                raise ValueError(f"unknown lr_schedule keys {sorted(unknown)}")
+            typ = self.lr_schedule.get("type", "cosine")
+            if typ not in ("cosine", "linear", "constant"):
+                raise ValueError(
+                    "lr_schedule.type must be 'cosine', 'linear' or "
+                    f"'constant', got {typ!r}"
+                )
+            w = self.lr_schedule.get("warmup_steps", 0)
+            if not isinstance(w, int) or w < 0:
+                raise ValueError(
+                    f"lr_schedule.warmup_steps must be a non-negative "
+                    f"integer, got {w!r}"
+                )
+            d = self.lr_schedule.get("decay_steps")
+            if d is not None and (not isinstance(d, int) or d < 1):
+                raise ValueError(
+                    f"lr_schedule.decay_steps must be a positive integer, "
+                    f"got {d!r}"
+                )
+            r = self.lr_schedule.get("min_lr_ratio", 0.0)
+            if not isinstance(r, (int, float)) or not 0.0 <= r <= 1.0:
+                raise ValueError(
+                    f"lr_schedule.min_lr_ratio must be in [0, 1], got {r!r}"
+                )
         if not isinstance(self.context_parallel, int) or self.context_parallel < 1:
             raise ValueError(
                 f"context_parallel must be a positive integer, "
@@ -230,9 +279,12 @@ class SystemConfig:
             adam_moment_dtype=tpu.get("adam_moment_dtype", "float32"),
             adam_nu_dtype=tpu.get("adam_nu_dtype", "float32"),
             scan_unroll=int(tpu.get("scan_unroll", 1)),
+            grad_accum=int(tpu.get("grad_accum", 1)),
+            lr_schedule=tpu.get("lr_schedule"),
             context_parallel=int(tpu.get("context_parallel", 1)),
             # YAML 1.1 parses bare `off`/`on` as booleans — normalize back
             mesh=_normalize_mesh(tpu.get("mesh", "auto")),
+            fsdp=bool(tpu.get("fsdp", False)),
             pipeline_microbatches=int(tpu.get("pipeline_microbatches", 4)),
             matmul_precision=tpu.get("matmul_precision", "default"),
             compat_legacy_rand_index=bool(tpu.get("compat_legacy_rand_index", False)),
@@ -299,8 +351,11 @@ class SystemConfig:
                 "adam_moment_dtype": self.adam_moment_dtype,
                 "adam_nu_dtype": self.adam_nu_dtype,
                 "scan_unroll": self.scan_unroll,
+                "grad_accum": self.grad_accum,
+                "lr_schedule": self.lr_schedule,
                 "context_parallel": self.context_parallel,
                 "mesh": self.mesh,
+                "fsdp": self.fsdp,
                 "pipeline_microbatches": self.pipeline_microbatches,
                 "matmul_precision": self.matmul_precision,
                 "compat_legacy_rand_index": self.compat_legacy_rand_index,

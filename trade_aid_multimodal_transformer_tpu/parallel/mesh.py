@@ -22,6 +22,15 @@ Axes:
 - 'pipe': pipeline parallelism — the block stack shards over GPipe stages
   with ppermute activation handoffs (pipeline.py); block params stay
   replicated in the pytree and are re-sharded at the shard_map boundary.
+
+FSDP / ZeRO-3 (``tpu_options.fsdp``): parameters and optimizer state
+additionally shard over the *'data'* axis — each leaf's largest still-free
+divisible dimension carries 'data' on top of the table placements below, so
+per-device parameter+moment memory scales 1/N with the data-parallel degree.
+This is the GSPMD formulation of FSDP: XLA all-gathers each layer's weights
+at use and reduce-scatters its gradient, instead of keeping N full replicas
+(the reference keeps one full copy per process; SURVEY §2.4 has no
+distributed training at all).
 """
 
 from __future__ import annotations
@@ -88,6 +97,7 @@ def param_pspecs(
     model_size: int = 1,
     mod_axis: bool = False,
     mod_size: int = 1,
+    fsdp_size: int = 1,
 ) -> Dict[str, Any]:
     """PartitionSpec tree for the model parameter pytree.
 
@@ -123,6 +133,13 @@ def param_pspecs(
     'mod' — modality parallelism, composable with the 'model' column/row
     placements above. Per-modality leaves (tok_emb[i], heads[i], cross
     params) have no M dim and keep their table placement.
+
+    With ``fsdp_size > 1`` (ZeRO-3), each leaf's LARGEST dimension that is
+    still unsharded and divides evenly additionally carries 'data' — so
+    parameter and optimizer-state memory shards 1/data per device while the
+    compiled program all-gathers weights at use and reduce-scatters
+    gradients. Leaves with no qualifying dimension (scalars, tiny norms,
+    odd vocab rows) stay replicated over 'data'.
     """
     mdl = "model" if model_axis else None
 
@@ -142,6 +159,24 @@ def param_pspecs(
             return spec
         dims = list(spec) + [None] * (leaf.ndim - len(spec))
         dims[0] = "mod"
+        return P(*dims)
+
+    def with_fsdp(spec: P, leaf) -> P:
+        """ZeRO-3: add 'data' on the largest still-free evenly-divisible
+        dim, so the leaf's storage (and its Adam moments, which inherit the
+        placement via zeros_like) shards over the data-parallel axis."""
+        if fsdp_size <= 1 or leaf.ndim == 0:
+            return spec
+        dims = list(spec) + [None] * (leaf.ndim - len(spec))
+        free = [
+            i for i in range(leaf.ndim)
+            if dims[i] is None and leaf.shape[i] % fsdp_size == 0
+            and leaf.shape[i] >= fsdp_size
+        ]
+        if not free:
+            return spec
+        best = max(free, key=lambda i: (leaf.shape[i], -i))
+        dims[best] = "data"
         return P(*dims)
 
     def spec_for(path: Tuple[str, ...], leaf) -> P:
@@ -197,24 +232,33 @@ def param_pspecs(
             return P()
 
         spec = base()
-        return with_mod(spec, leaf) if stacked else spec
+        if stacked:
+            spec = with_mod(spec, leaf)
+        return with_fsdp(spec, leaf)
 
     flat = jax.tree_util.tree_flatten_with_path(params)
     specs = [spec_for(path, leaf) for path, leaf in flat[0]]
     return jax.tree_util.tree_unflatten(flat[1], specs)
 
 
-def shard_params(params, mesh: Mesh, n_head: int, model_axis: bool = True):
+def shard_params(
+    params, mesh: Mesh, n_head: int, model_axis: bool = True,
+    fsdp: bool = False,
+):
     """Place the parameter pytree onto the mesh per param_pspecs. Modality
-    parallelism engages automatically when the mesh has a 'mod' axis > 1."""
+    parallelism engages automatically when the mesh has a 'mod' axis > 1;
+    ``fsdp=True`` additionally shards each leaf over 'data' (ZeRO-3)."""
     specs = param_pspecs(
         params, n_head, model_axis=model_axis,
         model_size=mesh.shape.get("model", 1),
         mod_axis=mesh.shape.get("mod", 1) > 1,
         mod_size=mesh.shape.get("mod", 1),
+        fsdp_size=mesh.shape.get("data", 1) if fsdp else 1,
     )
+    from .multihost import place_sharded
+
     return jax.tree.map(
-        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        lambda leaf, spec: place_sharded(leaf, NamedSharding(mesh, spec)),
         params,
         specs,
     )

@@ -23,6 +23,11 @@ Accepted forms of ``tpu_options.mesh``:
 
 ``context_parallel`` (ring attention over a 'seq' axis) composes with all
 forms: the resolved mesh is (pipe, mod, data, model, seq).
+
+``fsdp`` (ZeRO-3, ``tpu_options.fsdp: true``) composes with any plan whose
+'data' axis is > 1: parameters and optimizer state shard over 'data'
+(mesh.param_pspecs), so train-state memory scales 1/data per device. With
+data == 1 it is a no-op.
 """
 
 from __future__ import annotations
@@ -47,6 +52,7 @@ class MeshPlan:
     mod: int = 1
     pipe: int = 1
     seq: int = 1
+    fsdp: bool = False
     devices: List[Any] = field(default_factory=list)
 
     @property
@@ -72,7 +78,9 @@ class MeshPlan:
         if self.mod > 1:
             parts.append(f"modality x{self.mod}")
         if self.data > 1:
-            parts.append(f"data x{self.data}")
+            parts.append(
+                f"data x{self.data}" + (" (fsdp/zero-3)" if self.fsdp else "")
+            )
         if self.model > 1:
             parts.append(f"tensor x{self.model}")
         if self.seq > 1:
@@ -84,6 +92,7 @@ def plan_mesh(
     mesh_cfg: Union[str, int, Dict[str, int], None],
     context_parallel: int = 1,
     *,
+    fsdp: bool = False,
     batch_size: int,
     block_size: int,
     n_head: int,
@@ -123,7 +132,8 @@ def plan_mesh(
             if batch_size % d == 0:
                 data = d
                 break
-        return MeshPlan(data=data, seq=seq, devices=devices)
+        return MeshPlan(data=data, seq=seq, fsdp=fsdp and data > 1,
+                        devices=devices)
 
     if isinstance(mesh_cfg, int):
         mesh_cfg = {"data": mesh_cfg}
@@ -144,7 +154,8 @@ def plan_mesh(
         if v < 1:
             raise ValueError(f"tpu_options.mesh.{k} must be >= 1, got {v}")
 
-    plan = MeshPlan(seq=seq, devices=devices, **axes)
+    plan = MeshPlan(seq=seq, fsdp=fsdp and axes["data"] > 1,
+                    devices=devices, **axes)
     if plan.n_devices > n_avail:
         raise ValueError(
             f"tpu_options.mesh {axes} x context_parallel {seq} needs "

@@ -45,6 +45,7 @@ def make_sharded_trainer(
     model_axis: bool = True,
     rng_impl: str = "auto",
     scan_unroll: int = 1,
+    grad_accum: int = 1,
     extra_scope=None,
     pipeline_microbatches: int = 4,
 ) -> Trainer:
@@ -107,7 +108,7 @@ def make_sharded_trainer(
     return Trainer(
         cfg, feed, optimizer, metric_specs, eval_iters,
         batch_constraint=constrain, rng_impl=rng_impl, scope=scope,
-        scan_unroll=scan_unroll, loss_fn=loss_fn,
+        scan_unroll=scan_unroll, grad_accum=grad_accum, loss_fn=loss_fn,
     )
 
 
@@ -127,7 +128,7 @@ def _compose_scopes(factories):
 
 def shard_train_state(
     params, optimizer, mesh: Mesh, n_head: int, model_axis: bool = True,
-    opt_state=None,
+    opt_state=None, fsdp: bool = False,
 ):
     """Place params on the mesh and build optimizer state with matching
     shardings (optax states mirror the param tree, so zeros_like inherits
@@ -136,8 +137,13 @@ def shard_train_state(
     ``opt_state``: a previously loaded (host/replicated) optimizer state to
     resume from — each leaf is re-placed with the sharding the fresh state
     would have, so checkpoint resume keeps the mesh layout.
+
+    ``fsdp=True`` (ZeRO-3): params AND both Adam moments additionally shard
+    over 'data' (mesh.param_pspecs fsdp placement) — per-device train-state
+    memory scales 1/data while XLA all-gathers weights at use.
     """
-    sharded = shard_params(params, mesh, n_head, model_axis=model_axis)
+    sharded = shard_params(params, mesh, n_head, model_axis=model_axis,
+                           fsdp=fsdp)
     fresh = optimizer.init(sharded)
     replicated = NamedSharding(mesh, P())
 
@@ -148,11 +154,21 @@ def shard_train_state(
         s = getattr(f, "sharding", None)
         return s if isinstance(s, NamedSharding) else replicated
 
+    from .multihost import place_sharded
+
+    def place(value, tgt):
+        # fresh moment leaves already carry the target sharding (zeros_like
+        # of the sharded params) — placing again would be a no-op locally
+        # and an error multi-process (their data is process-sharded).
+        if getattr(value, "sharding", None) == tgt:
+            return value
+        return place_sharded(value, tgt)
+
     if opt_state is None:
-        placed = jax.tree.map(lambda f: jax.device_put(f, target(f)), fresh)
+        placed = jax.tree.map(lambda f: place(f, target(f)), fresh)
     else:
         placed = jax.tree.map(
-            lambda f, loaded: jax.device_put(loaded, target(f)),
+            lambda f, loaded: place(loaded, target(f)),
             fresh, opt_state,
         )
     return sharded, placed

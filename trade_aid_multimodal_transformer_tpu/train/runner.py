@@ -310,10 +310,16 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
     )
     master_key, init_key = jax.random.split(master_key)
 
+    lr_schedule = sc.get("lr_schedule")
+    if lr_schedule:
+        # decay over the whole run unless the config pins a length
+        lr_schedule = dict(lr_schedule)
+        lr_schedule.setdefault("decay_steps", max_iters)
     optimizer = make_optimizer(
         learning_rate,
         moment_dtype=sc.get("adam_moment_dtype", "float32"),
         nu_dtype=sc.get("adam_nu_dtype", "float32"),
+        lr_schedule=lr_schedule,
     )
     if create_new_model:
         print("Model: Creating new transformer...")
@@ -362,6 +368,7 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
     plan = plan_mesh(
         sc.get("mesh", "auto"),
         int(sc.get("context_parallel", 1)),
+        fsdp=bool(sc.get("fsdp", False)),
         batch_size=batch_size,
         block_size=block_size,
         n_head=sc["n_head"],
@@ -386,6 +393,7 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
             cfg, feed, optimizer, metric_specs, eval_iters,
             rng_impl=sc.get("rng_impl", "auto"), scope=scope,
             scan_unroll=sc.get("scan_unroll", 1),
+            grad_accum=sc.get("grad_accum", 1),
         )
     else:
         from ..parallel.trainer import make_sharded_trainer, shard_train_state
@@ -398,6 +406,7 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
             model_axis=use_model_axis,
             rng_impl=sc.get("rng_impl", "auto"),
             scan_unroll=sc.get("scan_unroll", 1),
+            grad_accum=sc.get("grad_accum", 1),
             extra_scope=precision_scope,
             pipeline_microbatches=int(sc.get("pipeline_microbatches", 4)),
         )
@@ -405,8 +414,13 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
         # the mesh; freshly created state is built sharded.
         params, opt_state = shard_train_state(
             params, optimizer, mesh, cfg.n_head,
-            model_axis=use_model_axis, opt_state=opt_state,
+            model_axis=use_model_axis, opt_state=opt_state, fsdp=plan.fsdp,
         )
+        from ..utils.memory import format_train_state_memory
+
+        print(f"Parallelism: {format_train_state_memory(params, opt_state)}")
+        # (prints e.g. "Parallelism: train state: 12.4 MB (1.7 MB/device)" —
+        # under fsdp the per-device figure is the 1/data-sharded footprint)
 
     hyperparams = {
         "n_embd": sc["n_embd"], "n_head": sc["n_head"], "n_layer": sc["n_layer"],

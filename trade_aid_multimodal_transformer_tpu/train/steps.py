@@ -27,8 +27,49 @@ from ..sampling.feed import BatchFeed
 from .metrics import ModalityMetricSpec, batch_directional_metrics
 
 
+def build_lr_schedule(learning_rate: float, spec: Optional[Dict[str, Any]]):
+    """Resolve ``tpu_options.lr_schedule`` into an optax schedule.
+
+    ``None`` (default) returns the constant ``learning_rate`` — the
+    reference's behavior (its torch AdamW never changes lr,
+    reference: main.py:464). A dict builds linear warmup followed by decay:
+
+    - type: 'cosine' (default) | 'linear' | 'constant' (warmup then flat)
+    - warmup_steps: linear 0 → lr ramp length (default 0)
+    - decay_steps: total schedule length INCLUDING warmup (the runner
+      defaults it to max_iters)
+    - min_lr_ratio: floor as a fraction of lr (default 0.0)
+    """
+    if not spec:
+        return learning_rate
+    typ = spec.get("type", "cosine")
+    warmup = int(spec.get("warmup_steps", 0))
+    decay = int(spec["decay_steps"])
+    end = learning_rate * float(spec.get("min_lr_ratio", 0.0))
+    if typ == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if warmup else learning_rate,
+            peak_value=learning_rate, warmup_steps=warmup,
+            decay_steps=decay, end_value=end,
+        )
+    pieces = []
+    if warmup:
+        pieces.append(optax.linear_schedule(0.0, learning_rate, warmup))
+    if typ == "linear":
+        pieces.append(
+            optax.linear_schedule(learning_rate, end, max(decay - warmup, 1))
+        )
+    elif typ == "constant":
+        pieces.append(optax.constant_schedule(learning_rate))
+    else:
+        raise ValueError(f"unknown lr_schedule type {typ!r}")
+    if len(pieces) == 1:
+        return pieces[0]
+    return optax.join_schedules(pieces, [warmup])
+
+
 def _adamw_lowmem(
-    learning_rate: float,
+    learning_rate,
     b1: float,
     b2: float,
     eps: float,
@@ -61,6 +102,14 @@ def _adamw_lowmem(
         c1 = 1.0 - b1 ** count.astype(jnp.float32)
         c2 = 1.0 - b2 ** count.astype(jnp.float32)
 
+        # Schedules evaluate at the pre-increment count (optax's
+        # scale_by_schedule convention), so trajectories match optax.adamw
+        # given the same schedule callable.
+        lr_t = (
+            learning_rate(state.count)
+            if callable(learning_rate) else learning_rate
+        )
+
         def upd(g, m, v, p):
             g32 = g.astype(jnp.float32)
             m32 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g32
@@ -68,7 +117,7 @@ def _adamw_lowmem(
             u = (m32 / c1) / (jnp.sqrt(v32 / c2) + eps)
             u = u + weight_decay * p.astype(jnp.float32)
             return (
-                (-learning_rate * u).astype(p.dtype),
+                (-lr_t * u).astype(p.dtype),
                 m32.astype(m.dtype),
                 v32.astype(v.dtype),
             )
@@ -86,6 +135,7 @@ def make_optimizer(
     learning_rate: float,
     moment_dtype: str = "float32",
     nu_dtype: str = "float32",
+    lr_schedule: Optional[Dict[str, Any]] = None,
 ) -> optax.GradientTransformation:
     """AdamW matching torch.optim.AdamW defaults (reference: main.py:464).
 
@@ -102,17 +152,21 @@ def make_optimizer(
     only WITH compute_dtype bfloat16, where the combination measures the
     best production rate (66.8 vs 62.5 steps/s for bf16 compute + bf16 mu
     alone, vs 57 for all-f32).
+
+    ``lr_schedule`` (tpu_options.lr_schedule): optional warmup+decay spec
+    (build_lr_schedule). None keeps the reference's constant lr.
     """
+    lr = build_lr_schedule(learning_rate, lr_schedule)
     if nu_dtype == "bfloat16":
         return _adamw_lowmem(
-            learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01,
+            lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01,
             mu_dtype=(
                 jnp.bfloat16 if moment_dtype == "bfloat16" else jnp.float32
             ),
             nu_dtype=jnp.bfloat16,
         )
     return optax.adamw(
-        learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01,
+        lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01,
         mu_dtype=jnp.bfloat16 if moment_dtype == "bfloat16" else None,
     )
 
@@ -176,6 +230,7 @@ class Trainer:
         scope=None,
         scan_unroll: int = 1,
         loss_fn=None,
+        grad_accum: int = 1,
     ):
         self.cfg = cfg
         self.feed = feed
@@ -204,6 +259,12 @@ class Trainer:
         # (and compile time) scales with the factor — keep 1 for big models,
         # where within-step work dominates. Config: tpu_options.scan_unroll.
         self.scan_unroll = max(1, int(scan_unroll))
+        # Gradient accumulation (tpu_options.grad_accum): each optimizer
+        # step averages gradients over this many independent microbatch
+        # draws of batch_size sequences — effective batch = grad_accum x
+        # batch_size without the activation memory of one giant batch.
+        # 1 (default) = reference semantics, one draw per step.
+        self.grad_accum = max(1, int(grad_accum))
 
         self._train_chunk = jax.jit(
             self._train_chunk_impl, static_argnames=("n_steps",), donate_argnums=(0, 1)
@@ -216,14 +277,40 @@ class Trainer:
         """n_steps fused optimization steps, batches drawn in-scan."""
         key = to_impl_key(key, self.rng_impl)
 
-        def body(carry, step_key):
-            params, opt_state = carry
-            k_batch, k_drop = jax.random.split(step_key)
+        def grad_of(params, micro_key):
+            k_batch, k_drop = jax.random.split(micro_key)
             xb, yb = self.feed._sample_impl(k_batch, split="train", augment=True)
             xb, yb = self.batch_constraint(xb), self.batch_constraint(yb)
             (loss, losses), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
                 params, self.cfg, xb, yb, k_drop, True
             )
+            return loss, grads
+
+        def body(carry, step_key):
+            params, opt_state = carry
+            if self.grad_accum == 1:
+                loss, grads = grad_of(params, step_key)
+            else:
+                # Mean loss/grads over grad_accum independent microbatches —
+                # one big-batch step at batch_size memory. The microbatch
+                # walk is a scan so the program stays one accumulator deep.
+                def micro(acc, mk):
+                    loss_m, grads_m = grad_of(params, mk)
+                    acc_l, acc_g = acc
+                    return (acc_l + loss_m,
+                            jax.tree.map(jnp.add, acc_g, grads_m)), None
+
+                zeros = jax.tree.map(jnp.zeros_like, params)
+                (loss_sum, grad_sum), _ = jax.lax.scan(
+                    micro, (jnp.asarray(0.0), zeros),
+                    jax.random.split(step_key, self.grad_accum),
+                )
+                inv = 1.0 / self.grad_accum
+                loss = loss_sum * inv
+                grads = jax.tree.map(
+                    lambda g: (g.astype(jnp.float32) * inv).astype(g.dtype),
+                    grad_sum,
+                )
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
