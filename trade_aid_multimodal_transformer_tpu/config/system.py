@@ -97,6 +97,10 @@ class SystemConfig:
     # 'data' axis (parallel/mesh.py param_pspecs) — per-device train-state
     # memory scales 1/data. No-op when the resolved data axis is 1.
     fsdp: bool = False
+    # Multi-host: initialize jax.distributed at startup so the mesh spans
+    # every host's chips (launch `python main.py` once per host; on TPU
+    # pods initialization self-bootstraps from pod metadata).
+    multihost: bool = False
     # GPipe microbatch count when mesh.pipe > 1 (parallel/pipeline.py).
     pipeline_microbatches: int = 4
     # MXU matmul precision for f32 operands: 'default' = native bf16
@@ -285,6 +289,7 @@ class SystemConfig:
             # YAML 1.1 parses bare `off`/`on` as booleans — normalize back
             mesh=_normalize_mesh(tpu.get("mesh", "auto")),
             fsdp=bool(tpu.get("fsdp", False)),
+            multihost=bool(tpu.get("multihost", False)),
             pipeline_microbatches=int(tpu.get("pipeline_microbatches", 4)),
             matmul_precision=tpu.get("matmul_precision", "default"),
             compat_legacy_rand_index=bool(tpu.get("compat_legacy_rand_index", False)),
@@ -356,6 +361,7 @@ class SystemConfig:
                 "context_parallel": self.context_parallel,
                 "mesh": self.mesh,
                 "fsdp": self.fsdp,
+                "multihost": self.multihost,
                 "pipeline_microbatches": self.pipeline_microbatches,
                 "matmul_precision": self.matmul_precision,
                 "compat_legacy_rand_index": self.compat_legacy_rand_index,

@@ -14,6 +14,7 @@ from .pipeline import (
     stack_blocks,
     unstack_blocks,
 )
+from . import multihost
 from .resolve import MESH_AXES, MeshPlan, plan_mesh
 from .ring_attention import make_ring_attention, ring_causal_attention_local
 from .trainer import (
@@ -34,6 +35,7 @@ __all__ = [
     "unstack_blocks",
     "MESH_AXES",
     "MeshPlan",
+    "multihost",
     "plan_mesh",
     "make_ring_attention",
     "ring_causal_attention_local",

@@ -48,9 +48,10 @@ def initialize(
 
     With no arguments this relies on the environment: TPU pod metadata, or
     the standard JAX coordination env vars. Already-initialized runtimes
-    (process_count() > 1) are left untouched.
+    are left untouched. NOTE: must run before anything initializes the XLA
+    backend (jax.devices() etc.) — is_initialized() is the only safe probe.
     """
-    if jax.process_count() > 1:
+    if jax.distributed.is_initialized():
         return
     kwargs = {}
     if coordinator_address is not None:
@@ -106,6 +107,7 @@ def gather_to_host(tree):
     def fetch(leaf):
         if not hasattr(leaf, "is_fully_addressable") or leaf.is_fully_addressable:
             return np.asarray(jax.device_get(leaf))
-        return np.asarray(multihost_utils.process_allgather(leaf))
+        # tiled=True: shards re-assemble into the full global value
+        return np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
 
     return jax.tree.map(fetch, tree)

@@ -67,6 +67,13 @@ def make_sharded_trainer(
     inside the traced steps (e.g. jax.default_matmul_precision from
     tpu_options.matmul_precision), composed with the seq scope.
     """
+    from .multihost import is_multiprocess
+
+    if is_multiprocess(mesh):
+        # multi-host: the sampler's closed-over token arrays must be global
+        # arrays on this mesh, or tracing the SPMD chunk rejects them
+        feed.place_global(mesh)
+
     batch_sharding = NamedSharding(
         mesh, batch_pspec(mod_axis=mesh.shape.get("mod", 1) > 1)
     )

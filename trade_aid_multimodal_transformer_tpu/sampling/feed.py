@@ -132,6 +132,18 @@ class BatchFeed:
         yb = windows[:, :, 1:]
         return xb, yb
 
+    def place_global(self, mesh) -> None:
+        """Re-home the token arrays as replicated GLOBAL arrays on a
+        process-spanning mesh (multi-host training): the jitted sampler
+        closes over these as constants, and a global-SPMD program cannot
+        capture process-local device arrays. Identical data on every
+        process is the caller's invariant (each host ingests the same
+        files). No-op overhead single-process."""
+        from ..parallel.multihost import place_global
+
+        self.train_data = place_global(self.train_data, mesh)
+        self.val_data = place_global(self.val_data, mesh)
+
     def get_batch(
         self, key: jax.Array, split: str, is_training: bool
     ) -> Tuple[jax.Array, jax.Array]:

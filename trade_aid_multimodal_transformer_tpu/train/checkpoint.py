@@ -71,7 +71,25 @@ def save_checkpoint(
     weights_only: bool = False,
 ) -> int:
     """Write a checkpoint; returns the file size in bytes
-    (the reference prints checkpoint size in MB, main.py:637)."""
+    (the reference prints checkpoint size in MB, main.py:637).
+
+    Multi-host: leaves sharded across processes (fsdp over a
+    process-spanning mesh) are all-gathered to full host arrays first, and
+    only process 0 touches the filesystem (every process still returns the
+    size, via a broadcast-free stat after a barrier).
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        from ..parallel.multihost import gather_to_host
+
+        params = gather_to_host(params)
+        if opt_state is not None:
+            opt_state = gather_to_host(opt_state)
+        if jax.process_index() != 0:
+            # barrier pairs with process 0's post-write barrier below
+            multihost_utils.sync_global_devices("checkpoint_save")
+            return os.path.getsize(path) if os.path.exists(path) else 0
     out = _flatten(_PARAMS_PREFIX, params)
     if not weights_only:
         if opt_state is not None:
@@ -90,6 +108,10 @@ def save_checkpoint(
     with open(tmp, "wb") as f:
         np.savez(f, **out)
     os.replace(tmp, path)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("checkpoint_save")
     return os.path.getsize(path)
 
 

@@ -157,6 +157,20 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
     print()
 
     sc = system_config
+
+    # Multi-host: bring up jax.distributed BEFORE anything touches the XLA
+    # backend (device queries below initialize it). On TPU pods
+    # initialize() self-bootstraps; launched once per host, every process
+    # then sees the pod's global device set and the mesh spans hosts.
+    if sc.get("multihost", False):
+        from ..parallel import multihost
+
+        multihost.initialize()
+        print(
+            f"Multi-host: process {jax.process_index() + 1}"
+            f"/{jax.process_count()}"
+        )
+
     batch_size = sc["batch_size"]
     block_size = sc["block_size"]
     max_iters = sc["max_iters"]

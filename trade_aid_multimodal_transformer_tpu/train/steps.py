@@ -19,6 +19,7 @@ from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..models.config import ModelConfig
@@ -323,13 +324,29 @@ class Trainer:
             )
         return params, opt_state, step_losses
 
+    @staticmethod
+    def _portable_key(key):
+        """Multi-host: a raw PRNGKey is a process-LOCAL device array, which
+        a process-spanning jit rejects as an argument. Hand it over as host
+        numpy instead — identical on every process, so jit treats it as
+        replicated. Typed keys and single-process runs pass through."""
+        if (
+            jax.process_count() > 1
+            and isinstance(key, jax.Array)
+            and not jnp.issubdtype(key.dtype, jax.dtypes.prng_key)
+        ):
+            return np.asarray(jax.device_get(key))
+        return key
+
     def train_chunk(self, params, opt_state, key, n_steps: int):
         """Run n_steps training steps on device; returns per-step losses."""
-        return self._train_chunk(params, opt_state, key, n_steps=n_steps)
+        return self._train_chunk(
+            params, opt_state, self._portable_key(key), n_steps=n_steps
+        )
 
     def train_step(self, params, opt_state, key):
         """Single training step (convenience; same compiled path, n=1)."""
-        params, opt_state, losses = self._train_chunk(params, opt_state, key, n_steps=1)
+        params, opt_state, losses = self.train_chunk(params, opt_state, key, 1)
         return params, opt_state, losses[0]
 
     # ------------------------------------------------------------ evaluation
@@ -401,4 +418,4 @@ class Trainer:
         )
 
     def eval_pass(self, params, key, split: str) -> EvalStats:
-        return self._eval_pass(params, key, split=split)
+        return self._eval_pass(params, self._portable_key(key), split=split)
