@@ -269,3 +269,17 @@ def test_matmul_precision_knob(demo_workdir):
     assert result["losses"]["train"] == pytest.approx(
         math.log(57) + math.log(3), abs=0.15
     )
+
+
+def test_multihost_flag_single_process_graceful(demo_workdir, capsys):
+    """tpu_options.multihost on a lone host (no pod metadata, no
+    coordinator env): training must continue single-process with a printed
+    note, not die — the soft-failure policy of the reference (SURVEY §5.3)."""
+    result = _run_with_tpu_options(
+        demo_workdir, "tpu_options:\n  mesh: off\n  multihost: true\n"
+    )
+    out = capsys.readouterr().out
+    assert "Multi-host:" in out
+    assert result["losses"]["train"] == pytest.approx(
+        math.log(57) + math.log(3), abs=0.15
+    )

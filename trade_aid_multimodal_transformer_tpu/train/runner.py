@@ -165,11 +165,18 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
     if sc.get("multihost", False):
         from ..parallel import multihost
 
-        multihost.initialize()
-        print(
-            f"Multi-host: process {jax.process_index() + 1}"
-            f"/{jax.process_count()}"
-        )
+        try:
+            multihost.initialize()
+            print(
+                f"Multi-host: process {jax.process_index() + 1}"
+                f"/{jax.process_count()}"
+            )
+        except Exception as e:
+            # a lone host without pod metadata / coordinator env vars is a
+            # soft config error — train single-process rather than die
+            # (mirrors the reference's load-failure soft paths, SURVEY §5.3)
+            print(f"Multi-host: initialization unavailable ({e}); "
+                  "continuing single-process")
 
     batch_size = sc["batch_size"]
     block_size = sc["block_size"]
