@@ -6,13 +6,16 @@ percent changes), B=4, T=4, n_embd=32, n_head=4, n_layer=2, dropout 0.1
 (BASELINE.md). Here the same model trains as fused device programs with
 in-scan batch sampling.
 
-The demo and production runs are built FROM the shipped YAML configs
-(examples/demo_*.yaml, examples/production_config.yaml) so the bench and the
-configs cannot drift. Additional metrics: tokenization throughput,
-production-scale 4-modality steps/s with an analytic-FLOPs MFU
+The demo and production runs are built FROM the shipped YAML configs —
+hyperparameters from examples/demo_config.yaml / production_config.yaml
+(including tpu_options like scan_unroll), modality structure and synthetic
+vocab sizing from the input-schema templates — so the bench and the configs
+cannot drift. Additional metrics: tokenization throughput, production-scale
+4-modality steps/s with an analytic-FLOPs MFU
 (models/param_count.training_flops_per_step counts the actual factored
-projections, cross-attention, and vocab heads), and long-context (T=1024 /
-T=4096) training rates where the Pallas flash kernels carry the step.
+projections, cross-attention, and vocab heads), long-context (T=1024 /
+T=4096) training rates where the Pallas flash kernels carry the step, and a
+run_training-level row so the shipped entry path itself is timed.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Diagnostics go to stderr.
@@ -147,9 +150,11 @@ def build_demo_run():
     optimizer = make_optimizer(
         sc.learning_rate, sc.adam_moment_dtype, sc.adam_nu_dtype
     )
-    # scan_unroll=4: at demo scale the per-iteration scan overhead is a real
-    # fraction of the 160us step; unrolling measures ~15% more steps/s
-    trainer = Trainer(cfg, feed, optimizer, specs, sc.eval_iters, scan_unroll=4)
+    # scan_unroll comes from the YAML (demo_config.yaml ships 4: at demo
+    # scale the per-iteration scan overhead is a real fraction of the
+    # ~160us step, and unrolling measures ~15% more steps/s)
+    trainer = Trainer(cfg, feed, optimizer, specs, sc.eval_iters,
+                      scan_unroll=sc.scan_unroll)
     params = init_params(jax.random.PRNGKey(0), cfg)
     opt_state = optimizer.init(params)
     return trainer, params, opt_state
@@ -218,22 +223,37 @@ def _time_steps(trainer, params, opt_state, chunk, trials=2):
     return best
 
 
+def _production_schemas_raw():
+    """The production input-schema template, loaded raw (its `path` points at
+    the user's data folder, which doesn't exist here — synthetic data stands
+    in, sized by the template's own `bench_vocab_size` annotations)."""
+    import yaml
+
+    with open(REPO / "examples" / "production_input_schemas.yaml") as f:
+        return yaml.safe_load(f)["modalities"]
+
+
 def _production_cfg_sc(block_size=None, attn_impl=None):
-    """Flagship 4-modality model from examples/production_config.yaml
-    hyperparameters (vocabs per BASELINE.json config #5)."""
+    """Flagship 4-modality model: hyperparameters from
+    examples/production_config.yaml, modality structure (vocab scale,
+    cross-attention flags, randomness sizes) from
+    examples/production_input_schemas.yaml — both YAMLs are the single
+    source of truth."""
     from trade_aid_multimodal_transformer_tpu.models.config import ModelConfig
 
     sc, _ = _load_yaml_config(REPO / "examples" / "production_config.yaml")
+    mods = _production_schemas_raw()
     cfg = ModelConfig(
-        vocab_sizes=(500, 120, 24, 48),
-        cross_attention=(True, True, False, False),
+        vocab_sizes=tuple(m["bench_vocab_size"] for m in mods),
+        cross_attention=tuple(bool(m.get("cross_attention")) for m in mods),
         n_embd=sc.n_embd, n_head=sc.n_head, n_layer=sc.n_layer,
         block_size=block_size or sc.block_size, dropout=sc.dropout,
         compute_dtype=sc.compute_dtype,
         attn_impl=attn_impl or sc.attn_impl,
         remat=sc.remat,
     )
-    return cfg, sc
+    rand_sizes = [m.get("randomness_size") for m in mods]
+    return cfg, sc, rand_sizes
 
 
 def bench_production():
@@ -245,9 +265,9 @@ def bench_production():
         training_flops_per_step,
     )
 
-    cfg, sc = _production_cfg_sc()
+    cfg, sc, rand_sizes = _production_cfg_sc()
     trainer, params, opt_state = _synthetic_trainer(
-        cfg, sc, sc.batch_size, rand_sizes=[2, 2, None, None]
+        cfg, sc, sc.batch_size, rand_sizes=rand_sizes
     )
     # chunk matches the runner's real operating mode: training executes
     # eval_interval-sized fused chunks (production eval_interval: 500,
@@ -273,7 +293,7 @@ def bench_long_context():
 
     results = {}
     for t, batch in ((1024, 8), (4096, 4)):
-        cfg, sc = _production_cfg_sc(block_size=t)
+        cfg, sc, _rs = _production_cfg_sc(block_size=t)
         trainer, params, opt_state = _synthetic_trainer(cfg, sc, batch)
         t0 = time.perf_counter()
         sps = _time_steps(trainer, params, opt_state, chunk=10)
@@ -343,7 +363,7 @@ def bench_serve():
     from trade_aid_multimodal_transformer_tpu.models.init import init_params
 
     S, B, new, refresh = 1024, 16, 512, 128
-    cfg, _ = _production_cfg_sc(block_size=S)
+    cfg, _sc, _rs = _production_cfg_sc(block_size=S)
     params = init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
     prompt = jnp.asarray(np.stack(
@@ -357,6 +377,50 @@ def bench_serve():
         dsync(generate_serve(params, cfg, prompt, key, new, refresh=refresh))
         best = max(best, B * new / (time.perf_counter() - t0))
     return best
+
+
+def bench_runner():
+    """The shipped entry path itself: ``run_training`` on the demo config in
+    a temp CWD — mesh resolution, feed construction, eval/log cadence and
+    the runner's own chunking included — so a runner-level regression is
+    driver-visible. max_iters is raised so the fused 100-step chunks
+    amortize the ~25 ms tunnel dispatch; the reported rate is the runner's
+    post-compile steady rate (StepTimer.steady_steps_per_sec)."""
+    import shutil
+    import tempfile
+
+    from trade_aid_multimodal_transformer_tpu.config.accessors import (
+        reset_config_cache,
+    )
+    from trade_aid_multimodal_transformer_tpu.config.compat import (
+        reset_compatibility_layer,
+    )
+    from trade_aid_multimodal_transformer_tpu.train.runner import run_training
+
+    base = (REPO / "examples" / "demo_config.yaml").read_text()
+    base = base.replace("max_iters: 50", "max_iters: 2001")
+    base = base.replace("eval_interval: 25", "eval_interval: 2000\n  eval_iters: 4")
+
+    tmp = tempfile.mkdtemp(prefix="bench_runner_")
+    prev_cwd = os.getcwd()
+    try:
+        (Path(tmp) / "config.yaml").write_text(base)
+        shutil.copy(REPO / "examples" / "demo_input_schemas.yaml",
+                    Path(tmp) / "input_schemas.yaml")
+        os.makedirs(Path(tmp) / "examples" / "demo_data")
+        shutil.copy(REPO / "examples" / "demo_data" / "demo_stock.csv",
+                    Path(tmp) / "examples" / "demo_data" / "demo_stock.csv")
+        os.chdir(tmp)
+        reset_compatibility_layer()
+        reset_config_cache()
+        with contextlib.redirect_stdout(io.StringIO()):
+            result = run_training(caller_globals={}, seed=0)
+        return result["step_timer"].steady_steps_per_sec
+    finally:
+        os.chdir(prev_cwd)
+        reset_compatibility_layer()
+        reset_config_cache()
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _guard(name, fn, default):
@@ -407,6 +471,10 @@ def main():
     serve = _guard("serve", bench_serve, None)
     if serve:
         log(f"serve T=1024 (B=16, chunked refresh): {serve:.0f} tok/s")
+    runner_sps = _guard("runner", bench_runner, None)
+    if runner_sps:
+        log(f"run_training (shipped entry path, demo config): "
+            f"{runner_sps:.1f} steps/s steady")
 
     r = lambda x, nd=2: round(x, nd) if x is not None else None
     print(
@@ -473,6 +541,15 @@ def main():
                         "value": r(lc["flash_speedup"]),
                         "unit": "x vs dense attention (fwd+bwd)",
                         "vs_baseline": None,
+                    },
+                    {
+                        "metric": "runner_steps_per_sec_demo",
+                        "value": r(runner_sps, 1),
+                        "unit": "steps/s (through run_training)",
+                        "vs_baseline": r(
+                            runner_sps / REFERENCE_STEPS_PER_SEC
+                            if runner_sps is not None else None
+                        ),
                     },
                 ],
             }

@@ -654,6 +654,7 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
         "trainer": trainer,
         "feed": feed,
         "modalities": modalities,
+        "step_timer": timer,
     }
 
 

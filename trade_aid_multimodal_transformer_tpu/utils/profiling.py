@@ -41,6 +41,7 @@ class StepTimer:
 
     steps: int = 0
     seconds: float = 0.0
+    chunks: List[tuple] = field(default_factory=list)  # (n_steps, seconds)
     _t0: float = field(default=0.0, repr=False)
 
     def start(self) -> None:
@@ -50,11 +51,20 @@ class StepTimer:
         dt = time.perf_counter() - self._t0
         self.steps += n_steps
         self.seconds += dt
+        self.chunks.append((n_steps, dt))
         return dt
 
     @property
     def steps_per_sec(self) -> float:
         return self.steps / self.seconds if self.seconds > 0 else 0.0
+
+    @property
+    def steady_steps_per_sec(self) -> float:
+        """Best per-chunk rate over multi-step chunks — the post-compile
+        steady rate (the first chunk of a fused-scan run pays the XLA
+        compile, which the cumulative rate would smear over every step)."""
+        rates = [n / s for n, s in self.chunks if n > 1 and s > 0]
+        return max(rates) if rates else self.steps_per_sec
 
     def summary(self) -> str:
         return (
