@@ -147,14 +147,16 @@ def build_demo_run():
         vocab_sizes=[len(v) for v in vocabs],
     )
     specs = build_metric_specs(vocabs, [m.is_percent for m in mods], cfg.block_size)
-    optimizer = make_optimizer(
-        sc.learning_rate, sc.adam_moment_dtype, sc.adam_nu_dtype
+    optimizer, adamw_spec = make_optimizer(
+        sc.learning_rate, sc.adam_moment_dtype, sc.adam_nu_dtype,
+        with_spec=True,
     )
     # scan_unroll comes from the YAML (demo_config.yaml ships 4: at demo
     # scale the per-iteration scan overhead is a real fraction of the
     # ~160us step, and unrolling measures ~15% more steps/s)
     trainer = Trainer(cfg, feed, optimizer, specs, sc.eval_iters,
-                      scan_unroll=sc.scan_unroll)
+                      scan_unroll=sc.scan_unroll,
+                      adamw_spec=adamw_spec if sc.fused_update is True else None)
     params = init_params(jax.random.PRNGKey(0), cfg)
     opt_state = optimizer.init(params)
     return trainer, params, opt_state
@@ -196,11 +198,13 @@ def _synthetic_trainer(cfg, sc, batch_size, n_rows=1_000_000, rand_sizes=None):
         [np.linspace(-1, 1, v).tolist() for v in cfg.vocab_sizes],
         [False] * len(cfg.vocab_sizes), cfg.block_size,
     )
-    optimizer = make_optimizer(
-        sc.learning_rate, sc.adam_moment_dtype, sc.adam_nu_dtype
+    optimizer, adamw_spec = make_optimizer(
+        sc.learning_rate, sc.adam_moment_dtype, sc.adam_nu_dtype,
+        with_spec=True,
     )
     trainer = Trainer(cfg, feed, optimizer, specs, sc.eval_iters,
-                      rng_impl=sc.rng_impl, scan_unroll=sc.scan_unroll)
+                      rng_impl=sc.rng_impl, scan_unroll=sc.scan_unroll,
+                      adamw_spec=adamw_spec if sc.fused_update is True else None)
     params = init_params(jax.random.PRNGKey(0), cfg)
     opt_state = optimizer.init(params)
     return trainer, params, opt_state

@@ -499,3 +499,70 @@ class TestLRSchedule:
             SystemConfig.from_dict(
                 {"tpu_options": {"lr_schedule": {"peak": 1}}}
             )
+
+
+class TestFusedUpdate:
+    """Fused flat-state AdamW chunk (tpu_options.fused_update,
+    train/steps.AdamWSpec): the scan carries three flat vectors instead of
+    the per-leaf train state. Trajectories must match the per-leaf path for
+    every moment-dtype variant, and the standard optax state must round-trip
+    across chunk boundaries."""
+
+    def _run(self, setup, opt, spec, n1=4, n2=3):
+        cfg, feed, _, params, _ = setup
+        vocabs = [list(np.linspace(-3, 3, 13)), [-2.0, -1.0, 0.0, 1.0, 2.0]]
+        specs = build_metric_specs(vocabs, [False, True], 4)
+        tr = Trainer(cfg, feed, opt, specs, eval_iters=3, adamw_spec=spec)
+        p, o = fresh(params), opt.init(fresh(params))
+        p, o, l1 = tr.train_chunk(p, o, jax.random.PRNGKey(11), n1)
+        p, o, l2 = tr.train_chunk(p, o, jax.random.PRNGKey(12), n2)
+        return p, o, np.concatenate([np.asarray(l1), np.asarray(l2)])
+
+    @pytest.mark.parametrize("mdt,ndt", [
+        ("float32", "float32"),
+        ("bfloat16", "float32"),
+        ("bfloat16", "bfloat16"),
+    ])
+    def test_matches_per_leaf_path(self, setup, mdt, ndt):
+        opt, spec = make_optimizer(1e-2, mdt, ndt, with_spec=True)
+        pa, oa, la = self._run(setup, opt, None)
+        pb, ob, lb = self._run(setup, opt, spec)
+        np.testing.assert_allclose(la, lb, atol=1e-5)
+        for x, y in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+            np.testing.assert_allclose(
+                np.asarray(x, np.float32), np.asarray(y, np.float32), atol=2e-5
+            )
+        # optimizer state round-trips in the standard optax structure
+        from trade_aid_multimodal_transformer_tpu.train.steps import (
+            _find_adam_state,
+        )
+
+        sa, sb = _find_adam_state(oa), _find_adam_state(ob)
+        assert int(sa.count) == int(sb.count) == 7
+        for x, y in zip(jax.tree.leaves(sa.mu), jax.tree.leaves(sb.mu)):
+            assert x.dtype == y.dtype
+            np.testing.assert_allclose(
+                np.asarray(x, np.float32), np.asarray(y, np.float32), atol=2e-4
+            )
+
+    def test_schedule_counts_continue_across_chunks(self, setup):
+        opt, spec = make_optimizer(
+            1e-2, lr_schedule={"type": "cosine", "warmup_steps": 2,
+                               "decay_steps": 14}, with_spec=True,
+        )
+        pa, _, la = self._run(setup, opt, None)
+        pb, _, lb = self._run(setup, opt, spec)
+        np.testing.assert_allclose(la, lb, atol=1e-5)
+        for x, y in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-5)
+
+    def test_config_surface(self):
+        from trade_aid_multimodal_transformer_tpu.config.system import SystemConfig
+
+        sc = SystemConfig.from_dict({})
+        assert sc.fused_update == "auto"
+        sc = SystemConfig.from_dict({"tpu_options": {"fused_update": False}})
+        assert sc.fused_update is False
+        assert sc.to_dict()["tpu_options"]["fused_update"] is False
+        with pytest.raises(ValueError, match="fused_update"):
+            SystemConfig.from_dict({"tpu_options": {"fused_update": "yes"}})

@@ -49,8 +49,11 @@ def main():
     ap.add_argument("--ablate", default="")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--block", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--rawkeys", action="store_true",
                     help="scan over raw uint32 salt pairs instead of typed keys")
+    ap.add_argument("--fused", action="store_true",
+                    help="full program: use the fused flat-state AdamW chunk")
     args = ap.parse_args()
     if args.ablate:
         os.environ["TAID_DROPOUT_ABLATE"] = args.ablate
@@ -77,7 +80,7 @@ def main():
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
-    B = 32
+    B = args.batch
 
     if args.program in ("fwd", "fwdbwd"):
         xb = jnp.asarray(np.stack(
@@ -134,11 +137,14 @@ def main():
         feed = BatchFeed(train, val, [1000000], cfg.block_size, B,
                          is_percents=False, rand_sizes=[2, 2, None, None],
                          vocab_sizes=list(cfg.vocab_sizes))
-        optimizer = make_optimizer(1e-3, "bfloat16", "bfloat16")
+        optimizer, adamw_spec = make_optimizer(
+            1e-3, "bfloat16", "bfloat16", with_spec=True
+        )
         specs = build_metric_specs(
             [np.linspace(-1, 1, v).tolist() for v in cfg.vocab_sizes],
             [False] * 4, cfg.block_size)
-        tr = Trainer(cfg, feed, optimizer, specs, 40)
+        tr = Trainer(cfg, feed, optimizer, specs, 40,
+                     adamw_spec=adamw_spec if args.fused else None)
         opt_state = optimizer.init(params)
         params, opt_state, l = tr.train_chunk(params, opt_state, jax.random.PRNGKey(0), n)
         np.asarray(jax.device_get(l[-1]))

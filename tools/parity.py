@@ -10,8 +10,30 @@ agree exactly:
 - step-0 loss within noise of the analytic anchor sum(ln V_i),
 - the training-log section structure.
 
+Behavioral checks (losses, directional accuracies) are band comparisons.
+With ``--seeds N`` (N >= 2) each side runs N times and the bands derive from
+the measured cross-seed spread (mean +- a standard-error band) instead of
+the fixed single-run band — tight enough to catch a subtler behavioral
+regression than the legacy +-25-point band.
+
+TPU-path parity: ``--tpu-options "<yaml>"`` overlays a tpu_options block
+onto OUR config only (the reference has no such section), so the shipped
+production path — bfloat16 compute, bf16 Adam moments, Pallas kernels, hash
+dropout, hardware RNG — is diffed end-to-end against the reference's CPU
+run. ``--set section.key=value`` applies a config override to BOTH sides
+(e.g. a block_size the kernels engage at). Runs are staged into temp copies
+of the config dir, so the input directory is never mutated.
+
 Usage:
     python tools/parity.py <config_dir> [--reference /root/reference]
+        [--seeds N] [--set training_parameters.block_size=16 ...]
+        [--tpu-options $'tpu_options:\n  compute_dtype: bfloat16']
+        [--report PARITY_TPU.md]
+
+Wall clock on this 1-CPU box: a single demo-config pair is dominated by the
+first fused-chunk compile (~2-4 min TPU, ~8 min CPU); run_training enables
+the persistent JAX compilation cache, so each further seed costs only the
+actual training/eval time (measured: seed 2+ of the demo config ~40 s).
 
 The config dir must contain config.yaml + input_schemas.yaml (paths inside
 them resolved relative to the config dir). The reference needs torch on the
@@ -22,15 +44,30 @@ import argparse
 import math
 import os
 import re
+import shutil
+import statistics
 import subprocess
 import sys
+import tempfile
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
+_REPORT_LINES = []
 
-def run_entry(main_path: Path, workdir: Path, timeout=600) -> str:
+
+def emit(msg: str = ""):
+    print(msg)
+    _REPORT_LINES.append(str(msg))
+
+
+def run_entry(main_path: Path, workdir: Path, timeout=600, seed=None) -> str:
     env = dict(os.environ)
+    if seed is not None:
+        # both entrypoints honor TAT_SEED when set (ours: main.py; for the
+        # reference it is ignored — its RNG differs anyway)
+        env["TAT_SEED"] = str(seed)
+        env["PYTHONHASHSEED"] = str(seed)
     proc = subprocess.run(
         [sys.executable, str(main_path)],
         cwd=workdir,
@@ -81,59 +118,122 @@ def parse_surface(out: str) -> dict:
     return surface
 
 
-def compare_behavior(ours: dict, ref: dict, failures: list) -> None:
-    """Distributional comparison of the training trajectories: final losses
-    within a tolerance band, directional-accuracy distributions overlapping.
+def _trained_mean(vals):
+    """Run-level mean excluding the step-0 eval: at random init the model is
+    a constant-class predictor whose class depends on the seed (measured
+    demo step-0 Changes accuracy is bimodal, ~0% or ~90%), so including it
+    makes the run mean an RNG coin flip, not a behavior check."""
+    vals = vals[1:] if len(vals) > 1 else vals
+    return sum(vals) / len(vals)
 
-    Cross-framework RNG differs, so these are band checks, not exact diffs
-    (the reference's own metric spread across seeds is wide — e.g. val
-    directional accuracy 3.8-5.0% on its demo prices modality)."""
-    if ours["loss_curve"] and ref["loss_curve"]:
+
+def _mean_std(xs):
+    if len(xs) == 1:
+        return xs[0], None
+    return statistics.mean(xs), statistics.stdev(xs)
+
+
+def _band_from_spread(sa, sb, na, nb, floor, single_run_band):
+    """Comparison band for a difference of run means. With one run per side
+    the legacy fixed band applies; with seeds the band is mean +- 3
+    standard errors of the difference (normal-ish across seeds), floored so
+    a degenerate zero-variance metric still tolerates eval noise."""
+    if sa is None or sb is None:
+        return single_run_band
+    se = math.sqrt(sa * sa / na + sb * sb / nb)
+    return max(floor, 3.0 * se)
+
+
+def compare_behavior(ours: list, refs: list, failures: list) -> None:
+    """Distributional comparison of the training trajectories across all
+    runs of each side: final-loss means and directional-accuracy means
+    within spread-derived bands."""
+    ours_curves = [o["loss_curve"] for o in ours if o["loss_curve"]]
+    ref_curves = [r["loss_curve"] for r in refs if r["loss_curve"]]
+    na, nb = len(ours), len(refs)
+    if ours_curves and ref_curves:
         for idx, name in ((0, "train"), (1, "val")):
-            a = ours["loss_curve"][-1][idx]
-            b = ref["loss_curve"][-1][idx]
-            tol = 0.25 + 0.1 * abs(b)
-            if abs(a - b) > tol:
+            a_runs = [c[-1][idx] for c in ours_curves]
+            b_runs = [c[-1][idx] for c in ref_curves]
+            ma, sa = _mean_std(a_runs)
+            mb, sb = _mean_std(b_runs)
+            tol = _band_from_spread(
+                sa, sb, len(a_runs), len(b_runs),
+                floor=0.15, single_run_band=0.25 + 0.1 * abs(mb),
+            )
+            spread = (
+                f" (spread ours {sa:.3f} ref {sb:.3f}, n={len(a_runs)})"
+                if sa is not None else ""
+            )
+            if abs(ma - mb) > tol:
                 failures.append(
-                    f"final {name} loss {a:.4f} vs reference {b:.4f} "
-                    f"(|delta| {abs(a-b):.4f} > tol {tol:.4f})"
+                    f"final {name} loss mean {ma:.4f} vs reference {mb:.4f} "
+                    f"(|delta| {abs(ma-mb):.4f} > tol {tol:.4f}){spread}"
                 )
             else:
-                print(f"final {name} loss: {a:.4f} vs ref {b:.4f} (within {tol:.3f})")
-        # losses must also DECREASE comparably from step 0
-        for idx, name in ((0, "train"),):
-            ours_drop = ours["loss_curve"][0][idx] - ours["loss_curve"][-1][idx]
-            ref_drop = ref["loss_curve"][0][idx] - ref["loss_curve"][-1][idx]
-            print(
-                f"{name} loss drop over run: {ours_drop:.4f} vs ref {ref_drop:.4f}"
-            )
+                emit(f"final {name} loss: {ma:.4f} vs ref {mb:.4f} "
+                     f"(within {tol:.3f}){spread}")
+        drops_a = [c[0][0] - c[-1][0] for c in ours_curves]
+        drops_b = [c[0][0] - c[-1][0] for c in ref_curves]
+        emit(f"train loss drop over run: {statistics.mean(drops_a):.4f} vs "
+             f"ref {statistics.mean(drops_b):.4f}")
 
-    # Directional accuracies: compare run-level means per (split, modality)
-    # with a band wide enough for sampling noise at demo eval sizes but
-    # tight enough to catch a broken metric (e.g. inverted signs -> ~100-x).
-    # The step-0 eval is excluded on BOTH sides: at random init the model is
-    # effectively a constant-class predictor whose class depends on the seed
-    # (measured demo step-0 Changes accuracy is bimodal, ~0% or ~90%), so
-    # including it makes the run mean an RNG coin flip, not a behavior check.
-    def trained_mean(vals):
-        vals = vals[1:] if len(vals) > 1 else vals
-        return sum(vals) / len(vals)
-
-    for key in sorted(set(ours["directional"]) & set(ref["directional"])):
-        a = trained_mean(ours["directional"][key])
-        b = trained_mean(ref["directional"][key])
-        band = 25.0
+    # Directional accuracies: per-(split, modality) means across runs.
+    keys = set.intersection(*[set(o["directional"]) for o in ours]) & \
+        set.intersection(*[set(r["directional"]) for r in refs])
+    for key in sorted(keys):
+        a_runs = [_trained_mean(o["directional"][key]) for o in ours]
+        b_runs = [_trained_mean(r["directional"][key]) for r in refs]
+        ma, sa = _mean_std(a_runs)
+        mb, sb = _mean_std(b_runs)
+        band = _band_from_spread(
+            sa, sb, na, nb, floor=8.0, single_run_band=25.0
+        )
         split, mod = key
-        if abs(a - b) > band:
+        spread = (
+            f" (band {band:.1f} from spread ours {sa:.1f} ref {sb:.1f})"
+            if sa is not None else f" (single-run band {band:.0f})"
+        )
+        if abs(ma - mb) > band:
             failures.append(
-                f"directional accuracy ({split}/{mod}): mean {a:.1f}% vs "
-                f"reference {b:.1f}% (|delta| > {band}%)"
+                f"directional accuracy ({split}/{mod}): mean {ma:.1f}% vs "
+                f"reference {mb:.1f}% (|delta| > {band:.1f}%){spread}"
             )
         else:
-            print(f"directional ({split}/{mod}): mean {a:.1f}% vs ref {b:.1f}%")
-    missing = set(ref["directional"]) - set(ours["directional"])
+            emit(f"directional ({split}/{mod}): mean {ma:.1f}% vs ref {mb:.1f}%{spread}")
+    all_ref_keys = set.union(*[set(r["directional"]) for r in refs]) if refs else set()
+    all_our_keys = set.union(*[set(o["directional"]) for o in ours]) if ours else set()
+    missing = all_ref_keys - all_our_keys
     if missing:
         failures.append(f"directional metrics missing for {sorted(missing)}")
+
+
+def _apply_sets(text: str, sets) -> str:
+    """Apply `section.key=value` overrides to YAML text by rewriting the
+    matching `key:` line (keys are unique within these flat configs)."""
+    for spec in sets or []:
+        path, _, value = spec.partition("=")
+        key = path.split(".")[-1]
+        pat = re.compile(rf"^(\s*{re.escape(key)}:)\s*\S.*$", re.M)
+        if not pat.search(text):
+            raise SystemExit(f"--set {spec}: key '{key}:' not found in config.yaml")
+        text = pat.sub(rf"\1 {value}", text)
+    return text
+
+
+def stage_config_dir(config_dir: Path, sets, tpu_options: str, tag: str) -> Path:
+    """Copy the config dir into a temp dir, applying --set overrides and (for
+    our side) the --tpu-options overlay. Returns the staged dir."""
+    staged = Path(tempfile.mkdtemp(prefix=f"parity_{tag}_"))
+    shutil.copytree(config_dir, staged, dirs_exist_ok=True, symlinks=False)
+    cfg_path = staged / "config.yaml"
+    text = _apply_sets(cfg_path.read_text(), sets)
+    if tpu_options:
+        # later duplicate top-level keys win under yaml.safe_load, so a
+        # plain append overrides any existing tpu_options block
+        text = text.rstrip() + "\n\n" + tpu_options.strip() + "\n"
+    cfg_path.write_text(text)
+    return staged
 
 
 def main():
@@ -141,55 +241,98 @@ def main():
     parser.add_argument("config_dir", type=Path)
     parser.add_argument("--reference", type=Path, default=Path("/root/reference"))
     parser.add_argument("--timeout", type=int, default=900)
+    parser.add_argument("--seeds", type=int, default=1,
+                        help="runs per side; >=2 derives bands from spread")
+    parser.add_argument("--set", dest="sets", action="append", default=[],
+                        metavar="section.key=value",
+                        help="config override applied to BOTH sides")
+    parser.add_argument("--tpu-options", default="",
+                        help="tpu_options YAML block appended to OUR config "
+                             "only (the shipped-TPU-path overlay)")
+    parser.add_argument("--report", type=Path, default=None,
+                        help="also write the comparison transcript to this file")
     args = parser.parse_args()
 
-    workdir = args.config_dir.resolve()
-    print(f"== running this framework in {workdir} ==")
-    ours = parse_surface(run_entry(REPO / "main.py", workdir, args.timeout))
+    config_dir = args.config_dir.resolve()
+    ours_dir = stage_config_dir(config_dir, args.sets, args.tpu_options, "ours")
+    ref_dir = stage_config_dir(config_dir, args.sets, "", "ref")
 
-    vocab_sizes = [int(b.replace(",", "")) for _, b in ours["vocab_transitions"]]
-    anchor = sum(math.log(v) for v in vocab_sizes)
-    failures = []
+    try:
+        emit(f"== config: {config_dir} | seeds per side: {args.seeds} ==")
+        if args.sets:
+            emit(f"== overrides (both sides): {args.sets} ==")
+        if args.tpu_options:
+            emit("== tpu_options overlay (ours only) ==")
+            for line in args.tpu_options.strip().splitlines():
+                emit(f"   {line}")
 
-    if ours["step0"]:
-        for name, loss in zip(("train", "val"), ours["step0"]):
-            if abs(loss - anchor) > 0.25:
-                failures.append(
-                    f"step-0 {name} loss {loss:.4f} far from analytic anchor {anchor:.4f}"
-                )
-        print(
-            f"step-0 losses {ours['step0']} vs analytic anchor sum(ln V) = {anchor:.4f}"
-        )
+        ours = []
+        for s in range(args.seeds):
+            emit(f"== running this framework (seed run {s + 1}/{args.seeds}) ==")
+            ours.append(parse_surface(
+                run_entry(REPO / "main.py", ours_dir, args.timeout, seed=s)
+            ))
 
-    ref_main = args.reference / "main.py"
-    if ref_main.exists():
-        print(f"== running reference ({ref_main}) ==")
-        try:
-            ref = parse_surface(run_entry(ref_main, workdir, args.timeout))
-        except Exception as e:
-            print(f"reference run failed, skipping cross-check: {e}")
-            ref = None
-        if ref:
+        vocab_sizes = [
+            int(b.replace(",", "")) for _, b in ours[0]["vocab_transitions"]
+        ]
+        anchor = sum(math.log(v) for v in vocab_sizes)
+        failures = []
+
+        for o in ours:
+            if o["step0"]:
+                for name, loss in zip(("train", "val"), o["step0"]):
+                    if abs(loss - anchor) > 0.25:
+                        failures.append(
+                            f"step-0 {name} loss {loss:.4f} far from analytic "
+                            f"anchor {anchor:.4f}"
+                        )
+        if ours[0]["step0"]:
+            emit(f"step-0 losses {ours[0]['step0']} vs analytic anchor "
+                 f"sum(ln V) = {anchor:.4f}")
+
+        refs = []
+        ref_main = args.reference / "main.py"
+        if ref_main.exists():
+            for s in range(args.seeds):
+                emit(f"== running reference (seed run {s + 1}/{args.seeds}) ==")
+                try:
+                    refs.append(parse_surface(
+                        run_entry(ref_main, ref_dir, args.timeout, seed=s)
+                    ))
+                except Exception as e:
+                    emit(f"reference run failed, skipping cross-check: {e}")
+                    refs = []
+                    break
+        if refs:
             for key in ("vocab_transitions", "vocabularies", "splits", "parameters"):
-                if ours[key] != ref[key]:
+                if ours[0][key] != refs[0][key]:
                     failures.append(
-                        f"{key} mismatch:\n  ours: {ours[key]}\n  ref:  {ref[key]}"
+                        f"{key} mismatch:\n  ours: {ours[0][key]}\n  ref:  {refs[0][key]}"
                     )
                 else:
-                    print(f"{key}: MATCH {ours[key]}")
-            if ref["step0"] and ours["step0"]:
-                d = abs(ref["step0"][0] - ours["step0"][0])
-                print(f"step-0 train loss delta vs reference: {d:.4f} (RNG differs)")
-            compare_behavior(ours, ref, failures)
-    else:
-        print("reference not found; analytic checks only")
+                    emit(f"{key}: MATCH {ours[0][key]}")
+            if refs[0]["step0"] and ours[0]["step0"]:
+                d = abs(refs[0]["step0"][0] - ours[0]["step0"][0])
+                emit(f"step-0 train loss delta vs reference: {d:.4f} (RNG differs)")
+            compare_behavior(ours, refs, failures)
+        elif not ref_main.exists():
+            emit("reference not found; analytic checks only")
 
-    if failures:
-        print("\nPARITY FAILURES:")
-        for f in failures:
-            print(f"  - {f}")
-        sys.exit(1)
-    print("\nPARITY OK")
+        if failures:
+            emit("\nPARITY FAILURES:")
+            for f in failures:
+                emit(f"  - {f}")
+            rc = 1
+        else:
+            emit("\nPARITY OK")
+            rc = 0
+        if args.report:
+            args.report.write_text("\n".join(_REPORT_LINES) + "\n")
+        sys.exit(rc)
+    finally:
+        shutil.rmtree(ours_dir, ignore_errors=True)
+        shutil.rmtree(ref_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

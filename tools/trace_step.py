@@ -26,8 +26,11 @@ def main():
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--block", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--ablate", default="")
     ap.add_argument("--json", default="")
+    ap.add_argument("--fused", action="store_true",
+                    help="use the fused flat-state AdamW chunk")
     args = ap.parse_args()
 
     if args.ablate:
@@ -57,14 +60,17 @@ def main():
     n_rows, n_val = 1_000_000, 100_000
     train = [rng.integers(0, v, n_rows - n_val).astype(np.int32) for v in cfg.vocab_sizes]
     val = [rng.integers(0, v, n_val).astype(np.int32) for v in cfg.vocab_sizes]
-    feed = BatchFeed(train, val, [n_rows], cfg.block_size, 32,
+    B = args.batch
+    feed = BatchFeed(train, val, [n_rows], cfg.block_size, B,
                      is_percents=False, rand_sizes=[2, 2, None, None],
                      vocab_sizes=list(cfg.vocab_sizes))
-    optimizer = make_optimizer(1e-3, "bfloat16", "bfloat16")
+    optimizer, adamw_spec = make_optimizer(
+        1e-3, "bfloat16", "bfloat16", with_spec=True)
     specs = build_metric_specs(
         [np.linspace(-1, 1, v).tolist() for v in cfg.vocab_sizes],
         [False] * 4, cfg.block_size)
-    trainer = Trainer(cfg, feed, optimizer, specs, 40)
+    trainer = Trainer(cfg, feed, optimizer, specs, 40,
+                      adamw_spec=adamw_spec if args.fused else None)
     params = init_params(jax.random.PRNGKey(0), cfg)
     opt_state = optimizer.init(params)
 

@@ -77,6 +77,13 @@ class SystemConfig:
     adam_moment_dtype: str = "float32"  # 'float32' | 'bfloat16' (Adam mu)
     adam_nu_dtype: str = "float32"   # 'float32' | 'bfloat16' (Adam nu)
     scan_unroll: int = 1             # train-chunk lax.scan unroll factor
+    # Fused flat-state AdamW (train/steps.AdamWSpec): the train chunk's scan
+    # carries three flat param/mu/nu vectors instead of the per-leaf pytree.
+    # Measured SLOWER on v5e at demo and production scale (grad concat +
+    # param unflatten outweigh the carry copies removed — see AdamWSpec),
+    # so 'auto' (default) resolves to OFF; `true` opts in explicitly.
+    # Sharded runs (mesh/fsdp) always keep per-leaf state.
+    fused_update: Any = "auto"
     # Gradient accumulation: average gradients over this many microbatch
     # draws per optimizer step (effective batch = grad_accum x batch_size
     # at single-batch activation memory). 1 = reference semantics.
@@ -264,6 +271,11 @@ class SystemConfig:
                 "matmul_precision must be 'default', 'float32' or 'highest', "
                 f"got {self.matmul_precision!r}"
             )
+        if self.fused_update not in ("auto", True, False):
+            raise ValueError(
+                "fused_update must be 'auto', true or false, "
+                f"got {self.fused_update!r}"
+            )
 
     @classmethod
     def from_dict(cls, config_dict: Dict[str, Any]) -> "SystemConfig":
@@ -283,6 +295,7 @@ class SystemConfig:
             adam_moment_dtype=tpu.get("adam_moment_dtype", "float32"),
             adam_nu_dtype=tpu.get("adam_nu_dtype", "float32"),
             scan_unroll=int(tpu.get("scan_unroll", 1)),
+            fused_update=tpu.get("fused_update", "auto"),
             grad_accum=int(tpu.get("grad_accum", 1)),
             lr_schedule=tpu.get("lr_schedule"),
             context_parallel=int(tpu.get("context_parallel", 1)),
@@ -356,6 +369,7 @@ class SystemConfig:
                 "adam_moment_dtype": self.adam_moment_dtype,
                 "adam_nu_dtype": self.adam_nu_dtype,
                 "scan_unroll": self.scan_unroll,
+                "fused_update": self.fused_update,
                 "grad_accum": self.grad_accum,
                 "lr_schedule": self.lr_schedule,
                 "context_parallel": self.context_parallel,

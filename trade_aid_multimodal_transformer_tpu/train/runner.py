@@ -326,6 +326,10 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
     print()
 
     cfg = ModelConfig.from_modality_params(sc, all_vocab_sizes, modality_params_list)
+    if seed is None and os.environ.get("TAT_SEED"):
+        # harness hook (tools/parity.py): pin the run seed from the
+        # environment without touching the zero-flag CLI surface
+        seed = int(os.environ["TAT_SEED"])
     master_key = jax.random.PRNGKey(
         seed if seed is not None else int.from_bytes(os.urandom(4), "little")
     )
@@ -336,11 +340,12 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
         # decay over the whole run unless the config pins a length
         lr_schedule = dict(lr_schedule)
         lr_schedule.setdefault("decay_steps", max_iters)
-    optimizer = make_optimizer(
+    optimizer, adamw_spec = make_optimizer(
         learning_rate,
         moment_dtype=sc.get("adam_moment_dtype", "float32"),
         nu_dtype=sc.get("adam_nu_dtype", "float32"),
         lr_schedule=lr_schedule,
+        with_spec=True,
     )
     if create_new_model:
         print("Model: Creating new transformer...")
@@ -410,11 +415,19 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
         import contextlib
 
         scope = precision_scope or contextlib.nullcontext
+        # tpu_options.fused_update: flat-state AdamW chunk (steps.AdamWSpec).
+        # Measured SLOWER on v5e at demo and production scale (the per-step
+        # grad concatenation + param unflatten outweigh the carry copies it
+        # removes — TECHNICAL_NOTES "Flat-state"), so 'auto' resolves to
+        # off; `true` opts in explicitly. Sharded runs below always keep
+        # per-leaf state so parameter shardings apply.
+        fused = sc.get("fused_update", "auto")
         trainer = Trainer(
             cfg, feed, optimizer, metric_specs, eval_iters,
             rng_impl=sc.get("rng_impl", "auto"), scope=scope,
             scan_unroll=sc.get("scan_unroll", 1),
             grad_accum=sc.get("grad_accum", 1),
+            adamw_spec=adamw_spec if fused is True else None,
         )
     else:
         from ..parallel.trainer import make_sharded_trainer, shard_train_state

@@ -137,7 +137,8 @@ def make_optimizer(
     moment_dtype: str = "float32",
     nu_dtype: str = "float32",
     lr_schedule: Optional[Dict[str, Any]] = None,
-) -> optax.GradientTransformation:
+    with_spec: bool = False,
+):
     """AdamW matching torch.optim.AdamW defaults (reference: main.py:464).
 
     ``moment_dtype='bfloat16'`` stores the first moment (mu) in bf16 —
@@ -156,20 +157,88 @@ def make_optimizer(
 
     ``lr_schedule`` (tpu_options.lr_schedule): optional warmup+decay spec
     (build_lr_schedule). None keeps the reference's constant lr.
+
+    ``with_spec=True`` additionally returns the AdamWSpec describing the
+    transformation, which Trainer uses for the fused flat-state update.
     """
     lr = build_lr_schedule(learning_rate, lr_schedule)
-    if nu_dtype == "bfloat16":
-        return _adamw_lowmem(
-            lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01,
-            mu_dtype=(
-                jnp.bfloat16 if moment_dtype == "bfloat16" else jnp.float32
-            ),
-            nu_dtype=jnp.bfloat16,
-        )
-    return optax.adamw(
-        lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01,
-        mu_dtype=jnp.bfloat16 if moment_dtype == "bfloat16" else None,
+    mu_dtype = jnp.bfloat16 if moment_dtype == "bfloat16" else jnp.float32
+    spec = AdamWSpec(
+        learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01,
+        mu_dtype=mu_dtype,
+        nu_dtype=jnp.bfloat16 if nu_dtype == "bfloat16" else jnp.float32,
     )
+    if nu_dtype == "bfloat16":
+        opt = _adamw_lowmem(
+            lr, b1=spec.b1, b2=spec.b2, eps=spec.eps,
+            weight_decay=spec.weight_decay,
+            mu_dtype=spec.mu_dtype, nu_dtype=spec.nu_dtype,
+        )
+    else:
+        opt = optax.adamw(
+            lr, b1=spec.b1, b2=spec.b2, eps=spec.eps,
+            weight_decay=spec.weight_decay,
+            mu_dtype=jnp.bfloat16 if moment_dtype == "bfloat16" else None,
+        )
+    return (opt, spec) if with_spec else opt
+
+
+class AdamWSpec(NamedTuple):
+    """The AdamW hyperparameters behind a make_optimizer transformation.
+
+    Passing this to ``Trainer`` enables the fused flat-state update: the
+    train chunk's scan then carries THREE flat vectors (params / mu / nu)
+    plus the step count instead of ~185 per-leaf buffers. The update math
+    is identical (same expressions as optax.adamw / _adamw_lowmem per
+    moment dtype) and the public API is unchanged — pytree params and
+    standard optax state in and out, flattened only inside the jitted
+    chunk.
+
+    MEASURED NEGATIVE on v5e (kept as an opt-in knob; 'auto' resolves to
+    off): production 4-mod config 13.47 vs 10.84 ms/step device-true, demo
+    config 7.3k vs 8.1k steps/s. The per-step gradient concatenation
+    (1.56 ms for the 211 MB f32 grad tree — ~3x the pure-traffic floor on
+    a 185-operand concatenate) plus the param unflatten the matmuls force
+    (~0.9 ms of reshape/slice materialization) outweigh the carry-rotation
+    copies removed (~0.35 ms — trace-measured, smaller than the earlier
+    wall-clock estimate). See TECHNICAL_NOTES "Flat-state train carry".
+    """
+
+    learning_rate: Any              # float or optax schedule callable
+    b1: float
+    b2: float
+    eps: float
+    weight_decay: float
+    mu_dtype: Any
+    nu_dtype: Any
+
+
+def _find_adam_state(opt_state):
+    """Locate the ScaleByAdamState inside an (arbitrarily nested) optax
+    chain state. Returns None if absent."""
+    if isinstance(opt_state, optax.ScaleByAdamState):
+        return opt_state
+    if isinstance(opt_state, (tuple, list)):
+        for s in opt_state:
+            found = _find_adam_state(s)
+            if found is not None:
+                return found
+    return None
+
+
+def _replace_adam_state(opt_state, new_state):
+    """Return opt_state with its ScaleByAdamState swapped for new_state,
+    preserving the surrounding chain structure (and namedtuple types)."""
+    if isinstance(opt_state, optax.ScaleByAdamState):
+        return new_state
+    if isinstance(opt_state, tuple):
+        rebuilt = tuple(_replace_adam_state(s, new_state) for s in opt_state)
+        if hasattr(opt_state, "_fields"):  # namedtuple
+            return type(opt_state)(*rebuilt)
+        return rebuilt
+    if isinstance(opt_state, list):
+        return [_replace_adam_state(s, new_state) for s in opt_state]
+    return opt_state
 
 
 def resolve_rng_impl(impl: str) -> str:
@@ -232,6 +301,7 @@ class Trainer:
         scan_unroll: int = 1,
         loss_fn=None,
         grad_accum: int = 1,
+        adamw_spec: Optional[AdamWSpec] = None,
     ):
         self.cfg = cfg
         self.feed = feed
@@ -266,6 +336,12 @@ class Trainer:
         # batch_size without the activation memory of one giant batch.
         # 1 (default) = reference semantics, one draw per step.
         self.grad_accum = max(1, int(grad_accum))
+        # Fused flat-state update (see AdamWSpec): carries flat param/mu/nu
+        # vectors through the chunk scan instead of the ~185-leaf pytree.
+        # Only sound when the train state lives unsharded on the devices
+        # (single chip or replicated), so parallel/ builds trainers without
+        # a spec.
+        self.adamw_spec = adamw_spec
 
         self._train_chunk = jax.jit(
             self._train_chunk_impl, static_argnames=("n_steps",), donate_argnums=(0, 1)
@@ -274,9 +350,9 @@ class Trainer:
 
     # ------------------------------------------------------------- training
 
-    def _train_chunk_impl(self, params, opt_state, key, n_steps: int):
-        """n_steps fused optimization steps, batches drawn in-scan."""
-        key = to_impl_key(key, self.rng_impl)
+    def _loss_and_grads(self, params, step_key):
+        """One optimization step's objective: loss + grads at params, with
+        the grad_accum microbatch walk when configured."""
 
         def grad_of(params, micro_key):
             k_batch, k_drop = jax.random.split(micro_key)
@@ -287,31 +363,43 @@ class Trainer:
             )
             return loss, grads
 
+        if self.grad_accum == 1:
+            return grad_of(params, step_key)
+
+        # Mean loss/grads over grad_accum independent microbatches —
+        # one big-batch step at batch_size memory. The microbatch
+        # walk is a scan so the program stays one accumulator deep.
+        def micro(acc, mk):
+            loss_m, grads_m = grad_of(params, mk)
+            acc_l, acc_g = acc
+            return (acc_l + loss_m,
+                    jax.tree.map(jnp.add, acc_g, grads_m)), None
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        (loss_sum, grad_sum), _ = jax.lax.scan(
+            micro, (jnp.asarray(0.0), zeros),
+            jax.random.split(step_key, self.grad_accum),
+        )
+        inv = 1.0 / self.grad_accum
+        loss = loss_sum * inv
+        grads = jax.tree.map(
+            lambda g: (g.astype(jnp.float32) * inv).astype(g.dtype),
+            grad_sum,
+        )
+        return loss, grads
+
+    def _train_chunk_impl(self, params, opt_state, key, n_steps: int):
+        """n_steps fused optimization steps, batches drawn in-scan."""
+        key = to_impl_key(key, self.rng_impl)
+
+        if self.adamw_spec is not None and _find_adam_state(opt_state) is not None:
+            leaves = jax.tree.leaves(params)
+            if len({l.dtype for l in leaves}) == 1:
+                return self._train_chunk_fused(params, opt_state, key, n_steps)
+
         def body(carry, step_key):
             params, opt_state = carry
-            if self.grad_accum == 1:
-                loss, grads = grad_of(params, step_key)
-            else:
-                # Mean loss/grads over grad_accum independent microbatches —
-                # one big-batch step at batch_size memory. The microbatch
-                # walk is a scan so the program stays one accumulator deep.
-                def micro(acc, mk):
-                    loss_m, grads_m = grad_of(params, mk)
-                    acc_l, acc_g = acc
-                    return (acc_l + loss_m,
-                            jax.tree.map(jnp.add, acc_g, grads_m)), None
-
-                zeros = jax.tree.map(jnp.zeros_like, params)
-                (loss_sum, grad_sum), _ = jax.lax.scan(
-                    micro, (jnp.asarray(0.0), zeros),
-                    jax.random.split(step_key, self.grad_accum),
-                )
-                inv = 1.0 / self.grad_accum
-                loss = loss_sum * inv
-                grads = jax.tree.map(
-                    lambda g: (g.astype(jnp.float32) * inv).astype(g.dtype),
-                    grad_sum,
-                )
+            loss, grads = self._loss_and_grads(params, step_key)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
@@ -323,6 +411,100 @@ class Trainer:
                 body, (params, opt_state), keys, unroll=unroll
             )
         return params, opt_state, step_losses
+
+    def _train_chunk_fused(self, params, opt_state, key, n_steps: int):
+        """n_steps fused steps with the FLAT train state (AdamWSpec).
+
+        The scan carry is (theta, mu, nu, count) — three contiguous vectors
+        plus the step counter — instead of the per-leaf pytree, and the
+        AdamW update becomes three fused elementwise passes instead of 185
+        per-leaf fusions. Update math matches the per-leaf path exactly
+        per moment-dtype variant (tests/test_train.py::TestFusedUpdate).
+
+        Opt-in only (tpu_options.fused_update: true): device-true traces
+        show the per-step grad concatenation and the param unflatten the
+        matmul operands force cost MORE than the carry-rotation copies this
+        removes (see AdamWSpec docstring for the v5e numbers).
+        """
+        spec = self.adamw_spec
+        leaves, treedef = jax.tree.flatten(params)
+        shapes = [l.shape for l in leaves]
+        sizes = [int(np.prod(s)) for s in shapes]
+        offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+
+        def flatten_tree(tree):
+            return jnp.concatenate(
+                [x.reshape(-1) for x in jax.tree.leaves(tree)]
+            )
+
+        def unflatten(flat):
+            return jax.tree.unflatten(
+                treedef,
+                [
+                    jax.lax.slice_in_dim(
+                        flat, int(o), int(o) + s
+                    ).reshape(sh)
+                    for o, s, sh in zip(offsets[:-1], sizes, shapes)
+                ],
+            )
+
+        adam = _find_adam_state(opt_state)
+        theta = flatten_tree(params)
+        mu = flatten_tree(adam.mu)
+        nu = flatten_tree(adam.nu)
+        b1, b2 = spec.b1, spec.b2
+
+        def body(carry, step_key):
+            theta, mu, nu, count = carry
+            p = unflatten(theta)
+            loss, grads = self._loss_and_grads(p, step_key)
+            g32 = flatten_tree(grads).astype(jnp.float32)
+            # schedules evaluate at the pre-increment count (optax
+            # scale_by_schedule convention)
+            lr_t = (
+                spec.learning_rate(count)
+                if callable(spec.learning_rate) else spec.learning_rate
+            )
+            count = optax.safe_int32_increment(count)
+            t = count.astype(jnp.float32)
+            c1 = 1.0 - b1 ** t
+            c2 = 1.0 - b2 ** t
+            if spec.nu_dtype == jnp.bfloat16:
+                # _adamw_lowmem semantics: moments upcast to f32 BEFORE the
+                # decay product (update math fully in f32)
+                mu32 = b1 * mu.astype(jnp.float32) + (1.0 - b1) * g32
+                nu32 = (
+                    b2 * nu.astype(jnp.float32) + (1.0 - b2) * jnp.square(g32)
+                )
+            else:
+                # optax.adamw semantics: the decay product runs in the
+                # moment's storage dtype (a weak-typed scalar times bf16
+                # stays bf16), then promotes in the add — reproducing
+                # optax.update_moment exactly for every mu_dtype
+                mu32 = (1.0 - b1) * g32 + b1 * mu
+                nu32 = (1.0 - b2) * jnp.square(g32) + b2 * nu
+            u = (mu32 / c1) / (jnp.sqrt(nu32 / c2) + spec.eps)
+            u = u + spec.weight_decay * theta
+            theta = theta - lr_t * u
+            return (
+                theta,
+                mu32.astype(spec.mu_dtype),
+                nu32.astype(spec.nu_dtype),
+                count,
+            ), loss
+
+        with self.scope():
+            keys = jax.random.split(key, n_steps)
+            unroll = self.scan_unroll if n_steps % self.scan_unroll == 0 else 1
+            (theta, mu, nu, count), step_losses = jax.lax.scan(
+                body, (theta, mu, nu, adam.count), keys, unroll=unroll
+            )
+
+        params = unflatten(theta)
+        new_adam = optax.ScaleByAdamState(
+            count=count, mu=unflatten(mu), nu=unflatten(nu)
+        )
+        return params, _replace_adam_state(opt_state, new_adam), step_losses
 
     @staticmethod
     def _portable_key(key):
