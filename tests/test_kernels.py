@@ -853,12 +853,33 @@ from trade_aid_multimodal_transformer_tpu.models.cache import _attn_cached  # no
 from trade_aid_multimodal_transformer_tpu.ops.pallas_attention import (  # noqa: E402
     decode_attention,
     decode_attention_eligible,
+    decode_attention_packed,
+    decode_attention_packed_eligible,
+    decode_attention_t,
+    decode_attention_t_eligible,
 )
+
+
+def _dense_decode(q, kc, vc, pos):
+    """Dense masked single-position attention over an UNtransposed
+    (..., S, hs) cache — the oracle for the straight decode kernel (the
+    production cache layout is now sequence-minor; models/cache._attn_cached
+    is its transposed twin)."""
+    dt = q.dtype
+    scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("...qh,...kh->...qk", q, kc,
+                   preferred_element_type=jnp.float32) * scale
+    cols = jnp.arange(kc.shape[-2], dtype=jnp.int32)
+    s = jnp.where(cols[None, :] <= pos, s.astype(jnp.float32), -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("...qk,...kh->...qh", p.astype(dt), vc,
+                     preferred_element_type=jnp.float32)
+    return out.astype(dt)
 
 
 class TestDecodeKernel:
     """Fused single-position cached-decode attention vs the dense masked
-    expression it replaces (models/cache._attn_cached, t_new=1)."""
+    expression it replaces."""
 
     @pytest.mark.parametrize("pos", [0, 1, 37, 63])
     def test_matches_dense_cached(self, pos):
@@ -867,7 +888,7 @@ class TestDecodeKernel:
         q = jax.random.normal(ks[0], (2, 3, 1, hs), jnp.float32)
         kc = jax.random.normal(ks[1], (2, 3, s, hs), jnp.float32)
         vc = jax.random.normal(ks[2], (2, 3, s, hs), jnp.float32)
-        ref = _attn_cached(q, kc, vc, jnp.asarray(pos), 1)
+        ref = _dense_decode(q, kc, vc, jnp.asarray(pos))
         out = decode_attention(q, kc, vc, jnp.asarray(pos), interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
@@ -878,7 +899,7 @@ class TestDecodeKernel:
         kc = jax.random.normal(ks[1], (j, b, h, s, hs), jnp.float32)
         vc = jax.random.normal(ks[2], (j, b, h, s, hs), jnp.float32)
         pos = jnp.asarray(41)
-        ref = _attn_cached(q, kc, vc, pos, 1).sum(axis=0)
+        ref = _dense_decode(q, kc, vc, pos).sum(axis=0)
         qb = jnp.broadcast_to(q, kc.shape[:-2] + q.shape[-2:])
         out = decode_attention(qb, kc, vc, pos, interpret=True).sum(axis=0)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
@@ -895,7 +916,7 @@ class TestDecodeKernel:
 
         _, outs = jax.lax.scan(body, jnp.asarray(0), None, length=4)
         for i in range(4):
-            ref = _attn_cached(q, kc, vc, jnp.asarray(i), 1)
+            ref = _dense_decode(q, kc, vc, jnp.asarray(i))
             np.testing.assert_allclose(
                 np.asarray(outs[i]), np.asarray(ref), atol=2e-5
             )
@@ -907,7 +928,7 @@ class TestDecodeKernel:
         kc = jax.random.normal(ks[1], (2, 2, s, hs), jnp.bfloat16)
         vc = jax.random.normal(ks[2], (2, 2, s, hs), jnp.bfloat16)
         pos = jnp.asarray(50)
-        ref = _attn_cached(q, kc, vc, pos, 1)
+        ref = _dense_decode(q, kc, vc, pos)
         out = decode_attention(q, kc, vc, pos, interpret=True)
         assert out.dtype == jnp.bfloat16
         np.testing.assert_allclose(
@@ -921,6 +942,174 @@ class TestDecodeKernel:
         assert not decode_attention_eligible(jnp.zeros((2, 2, 16)), k)
         assert not decode_attention_eligible(q, jnp.zeros((2, 63, 16)))
         assert not decode_attention_eligible(q, jnp.zeros((3, 64, 16)))
+
+
+class TestDecodeTKernel:
+    """Transposed-cache decode kernel (..., hs, S): reads at the fetch
+    floor (S on the lanes), kept for head sizes that do not divide the
+    128-lane tile; the production cache layout is the PACKED form below
+    (models/cache docstring — transposed appends measured a full-buffer
+    rewrite per token). Oracle: the straight kernel on the untransposed
+    view."""
+
+    def test_matches_straight_kernel(self):
+        s, hs = 256, 32
+        ks = jax.random.split(jax.random.PRNGKey(5), 3)
+        q = jax.random.normal(ks[0], (4, 1, hs), jnp.float32)
+        kc = jax.random.normal(ks[1], (4, s, hs), jnp.float32)
+        vc = jax.random.normal(ks[2], (4, s, hs), jnp.float32)
+        pos = jnp.asarray(100)
+        a = decode_attention(q, kc, vc, pos, interpret=True)
+        b = decode_attention_t(
+            q, jnp.swapaxes(kc, -1, -2), jnp.swapaxes(vc, -1, -2), pos,
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def test_bf16(self):
+        s, hs = 128, 64
+        ks = jax.random.split(jax.random.PRNGKey(7), 3)
+        q = jax.random.normal(ks[0], (2, 2, 1, hs), jnp.bfloat16)
+        kc = jax.random.normal(ks[1], (2, 2, s, hs), jnp.bfloat16)
+        vc = jax.random.normal(ks[2], (2, 2, s, hs), jnp.bfloat16)
+        pos = jnp.asarray(90)
+        ref = _dense_decode(q, kc, vc, pos)
+        out = decode_attention_t(
+            q, jnp.swapaxes(kc, -1, -2), jnp.swapaxes(vc, -1, -2), pos,
+            interpret=True,
+        )
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
+        )
+
+    def test_eligibility(self):
+        q = jnp.zeros((2, 1, 16))
+        kt = jnp.zeros((2, 16, 128))
+        assert decode_attention_t_eligible(q, kt)
+        # S must fill whole 128-lane tiles
+        assert not decode_attention_t_eligible(q, jnp.zeros((2, 16, 120)))
+        # hs mismatch
+        assert not decode_attention_t_eligible(q, jnp.zeros((2, 8, 128)))
+        # multi-position query
+        assert not decode_attention_t_eligible(jnp.zeros((2, 2, 16)), kt)
+
+
+class TestDecodePackedKernel:
+    """Packed-cache decode kernel (..., S/pack, pack*hs): the production
+    serving layout — full 128-lane rows for floor-rate reads AND in-place
+    sublane appends (models/cache docstring). Oracle: the dense masked
+    softmax over the unpacked cache (models/cache._attn_cached)."""
+
+    @pytest.mark.parametrize("pos", [0, 5, 63, 127])
+    def test_matches_dense_unpacked(self, pos):
+        s_, hs = 128, 16  # pack = 8
+        pack = 128 // hs
+        ks = jax.random.split(jax.random.PRNGKey(pos + 3), 3)
+        q = jax.random.normal(ks[0], (2, 3, 1, hs), jnp.float32)
+        kp = jax.random.normal(ks[1], (2, 3, s_ // pack, 128), jnp.float32)
+        vp = jax.random.normal(ks[2], (2, 3, s_ // pack, 128), jnp.float32)
+        ref = _attn_cached(q, kp, vp, jnp.asarray(pos), 1)
+        out = decode_attention_packed(q, kp, vp, jnp.asarray(pos), interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_pack2_bf16(self):
+        s_, hs = 256, 64  # pack = 2 — the production head size
+        pack = 128 // hs
+        ks = jax.random.split(jax.random.PRNGKey(17), 3)
+        q = jax.random.normal(ks[0], (4, 1, hs), jnp.bfloat16)
+        kp = jax.random.normal(ks[1], (4, s_ // pack, 128), jnp.bfloat16)
+        vp = jax.random.normal(ks[2], (4, s_ // pack, 128), jnp.bfloat16)
+        pos = jnp.asarray(200)
+        ref = _attn_cached(q, kp, vp, pos, 1)
+        out = decode_attention_packed(q, kp, vp, pos, interpret=True)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
+        )
+
+    def test_traced_pos_under_scan(self):
+        s_, hs = 64, 32
+        pack = 128 // hs
+        ks = jax.random.split(jax.random.PRNGKey(23), 3)
+        q = jax.random.normal(ks[0], (4, 1, hs), jnp.float32)
+        kp = jax.random.normal(ks[1], (4, s_ // pack, 128), jnp.float32)
+        vp = jax.random.normal(ks[2], (4, s_ // pack, 128), jnp.float32)
+
+        def body(pos, _):
+            return pos + 1, decode_attention_packed(q, kp, vp, pos, interpret=True)
+
+        _, outs = jax.lax.scan(body, jnp.asarray(0), None, length=4)
+        for i in range(4):
+            ref = _attn_cached(q, kp, vp, jnp.asarray(i), 1)
+            np.testing.assert_allclose(
+                np.asarray(outs[i]), np.asarray(ref), atol=2e-5
+            )
+
+    def test_eligibility(self):
+        q = jnp.zeros((2, 1, 64))
+        kp = jnp.zeros((2, 64, 128))
+        assert decode_attention_packed_eligible(q, kp)
+        # lane row must be exactly one 128 tile
+        assert not decode_attention_packed_eligible(q, jnp.zeros((2, 64, 256)))
+        # hs must divide 128
+        assert not decode_attention_packed_eligible(
+            jnp.zeros((2, 1, 48)), jnp.zeros((2, 64, 128))
+        )
+        # whole sublane tiles
+        assert not decode_attention_packed_eligible(q, jnp.zeros((2, 63, 128)))
+
+
+class TestCacheAppend:
+    """models/cache._cache_append: packed-layout writes must equal writing
+    into the unpacked view, for static (prefill) and traced (decode scan)
+    starts, including pack-misaligned static starts."""
+
+    def _oracle(self, c, new, start, hs):
+        from trade_aid_multimodal_transformer_tpu.models.cache import _unpack_cache
+
+        flat = np.asarray(_unpack_cache(c, hs)).copy()
+        flat[..., start:start + new.shape[-2], :] = np.asarray(new)
+        pack = c.shape[-1] // hs
+        return flat.reshape(*c.shape[:-2], c.shape[-2], pack * hs)             if pack > 1 else flat
+
+    @pytest.mark.parametrize("start,t", [(0, 8), (3, 5), (7, 1), (2, 9)])
+    def test_static_start(self, start, t):
+        from trade_aid_multimodal_transformer_tpu.models.cache import _cache_append
+
+        hs, s_ = 32, 16
+        pack = 128 // hs
+        c = jnp.zeros((2, s_ // pack, 128), jnp.float32)
+        new = jax.random.normal(jax.random.PRNGKey(start * 10 + t), (2, t, hs))
+        out = _cache_append(c, new, start)
+        np.testing.assert_allclose(
+            np.asarray(out), self._oracle(c, new, start, hs), atol=0
+        )
+
+    def test_traced_start_single_token(self):
+        from trade_aid_multimodal_transformer_tpu.models.cache import _cache_append
+
+        hs, s_ = 64, 8
+        pack = 128 // hs
+        c = jnp.zeros((3, s_ // pack, 128), jnp.float32)
+        new = jax.random.normal(jax.random.PRNGKey(1), (3, 1, hs))
+
+        f = jax.jit(lambda c, n, p: _cache_append(c, n, p))
+        for pos in range(s_):
+            out = f(c, new, jnp.asarray(pos, jnp.int32))
+            np.testing.assert_allclose(
+                np.asarray(out), self._oracle(c, new, pos, hs), atol=0
+            )
+
+    def test_plain_layout_passthrough(self):
+        from trade_aid_multimodal_transformer_tpu.models.cache import _cache_append
+
+        c = jnp.zeros((2, 16, 48), jnp.float32)  # hs=48: no packing
+        new = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 48))
+        out = _cache_append(c, new, 5)
+        ref = np.asarray(c).copy()
+        ref[:, 5:9, :] = np.asarray(new)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=0)
 
 
 class TestTPULowering:
@@ -961,6 +1150,16 @@ class TestTPULowering:
         jax.jit(
             lambda q, k, v: decode_attention(q, k, v, jnp.asarray(7))
         ).trace(qd, cache, cache).lower(lowering_platforms=("tpu",))
+
+        cache_t = jnp.zeros((48, 64, 1024), jnp.bfloat16)
+        jax.jit(
+            lambda q, k, v: decode_attention_t(q, k, v, jnp.asarray(7))
+        ).trace(qd, cache_t, cache_t).lower(lowering_platforms=("tpu",))
+
+        cache_p = jnp.zeros((48, 512, 128), jnp.bfloat16)
+        jax.jit(
+            lambda q, k, v: decode_attention_packed(q, k, v, jnp.asarray(7))
+        ).trace(qd, cache_p, cache_p).lower(lowering_platforms=("tpu",))
 
         def flash_fwdbwd(q, k, v):
             return jax.grad(

@@ -36,12 +36,29 @@ Pallas flash kernels carry the prefill (O(T) memory) instead of the masked
 dense read of the whole cache window. Decode steps (t=1) stay the banded
 matvec against the cache.
 
-Cache layout per block (S = block_size):
-  sa_k / sa_v: (M, B, H, S, hs) self-attention keys/values
-  cross[i]["k"/"v"]: (J, B, H, S, hs) cross K/V for querying modality i over
-  its J KV modalities — cross K/V derive from the OTHER modalities' post-
-  SA/FF activations (reference: model.py:229-242), which are produced fresh
-  for the new position during the same cached step.
+Cache layout per block (S = block_size) — PACKED, `pack` positions per
+lane row (pack = 128 // hs when head size divides the 128-lane tile):
+  sa_k / sa_v: (M, B, H, S/pack, pack*hs) self-attention keys/values
+  cross[i]["k"/"v"]: (J, B, H, S/pack, pack*hs) cross K/V for querying
+  modality i over its J KV modalities — cross K/V derive from the OTHER
+  modalities' post-SA/FF activations (reference: model.py:229-242),
+  produced fresh for the new position during the same cached step.
+Position i lives at row i // pack, lane block i % pack. Shapes where the
+packing is impossible (128 % hs != 0, ragged S) keep the plain
+(..., S, hs) layout and the straight decode kernel.
+
+Why packed (both alternatives measured, v5e, S=1024/B=16/hs=64/bf16):
+- plain (..., S, hs): the 64-lane minor dim pads to 128 under the TPU's
+  (8, 128) tiling — every decode fetches the cache at TWICE its logical
+  bytes; the kernel measured 2.4x the fetch floor (300 us/layer vs 123).
+- transposed (..., hs, S): reads at the true floor (~140 us/layer
+  measured), but the per-token append becomes a LANE-axis
+  dynamic_update_slice, which lowers to a full-buffer rewrite —
+  2.27 ms/step of DUS, erasing the read win.
+- packed (..., S/pack, pack*hs): reads at the floor (128-lane rows, no
+  padding) AND appends stay in-place sublane writes (the lane offset is
+  one of `pack` static branches). Kernel:
+  ops/pallas_attention.decode_attention_packed.
 """
 
 from __future__ import annotations
@@ -51,6 +68,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.attention import causal_attention, cross_causal_attention
 from ..ops.layers import KeyGen, layernorm
@@ -59,17 +77,30 @@ from .sampler import _scan_steps
 from .transformer import _mm, _proj_mlp, _qkv_project, feed_forward, logits_heads
 
 
+def cache_pack(hs: int, S: int) -> int:
+    """Positions per packed lane row: 128 // hs when hs divides the 128-lane
+    tile and S packs into whole sublane-aligned rows; else 1 (plain layout)."""
+    if hs >= 128 or 128 % hs != 0:
+        return 1
+    pack = 128 // hs
+    if S % pack != 0 or (S // pack) % 8 != 0:
+        return 1
+    return pack
+
+
 def init_cache(cfg: ModelConfig, batch: int, params: Dict[str, Any]) -> List[Dict]:
     """Zero-filled cache pytree matching ``params['blocks']`` structure."""
     M, H, S, hs = cfg.num_modalities, cfg.n_head, cfg.block_size, cfg.head_size
     dt = cfg.activation_dtype if hasattr(cfg, "activation_dtype") else (
         jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     )
+    pack = cache_pack(hs, S)
+    shape_tail = (S // pack, pack * hs)
     caches = []
     for block in params["blocks"]:
         bc: Dict[str, Any] = {
-            "sa_k": jnp.zeros((M, batch, H, S, hs), dt),
-            "sa_v": jnp.zeros((M, batch, H, S, hs), dt),
+            "sa_k": jnp.zeros((M, batch, H) + shape_tail, dt),
+            "sa_v": jnp.zeros((M, batch, H) + shape_tail, dt),
             "cross": {},
         }
         if block["cross"]:
@@ -79,15 +110,96 @@ def init_cache(cfg: ModelConfig, batch: int, params: Dict[str, Any]) -> List[Dic
                     continue
                 J = len(kv_idx)
                 bc["cross"][i_str] = {
-                    "k": jnp.zeros((J, batch, H, S, hs), dt),
-                    "v": jnp.zeros((J, batch, H, S, hs), dt),
+                    "k": jnp.zeros((J, batch, H) + shape_tail, dt),
+                    "v": jnp.zeros((J, batch, H) + shape_tail, dt),
                 }
         caches.append(bc)
     return caches
 
 
+def _unpack_cache(c, hs: int):
+    """(..., S/pack, pack*hs) -> (..., S, hs) view (row-major reshape)."""
+    pack = c.shape[-1] // hs
+    if pack == 1:
+        return c
+    sp = c.shape[-2]
+    return c.reshape(*c.shape[:-2], sp * pack, hs)
+
+
+def _cache_append(c, new, start):
+    """Write ``new`` (..., t, hs) at positions start..start+t-1 of cache ``c``.
+
+    Plain layout (pack == 1): one in-place dynamic_update_slice along the
+    second-minor sequence axis. Packed layout: a STATIC start (prefill)
+    splits into whole packed rows plus a static remainder; a traced start
+    (the decode scan's position carry) requires t == 1 and branches over
+    the ``pack`` static lane offsets (lax.switch), so the update region is
+    always statically-shaped with a static minor offset — the form XLA
+    updates in place (a dynamic lane offset measured as a full-buffer
+    rewrite per token)."""
+    hs = new.shape[-1]
+    t = new.shape[-2]
+    pack = c.shape[-1] // hs
+    new = new.astype(c.dtype)
+    if pack == 1:
+        return jax.lax.dynamic_update_slice_in_dim(c, new, start, axis=c.ndim - 2)
+    row_axis = c.ndim - 2
+    static_start = isinstance(start, (int, np.integer))
+
+    def write_rows(c, rows, row0):
+        # rows: (..., r, pack*hs) whole packed rows at packed-row index row0
+        idx = [0] * c.ndim
+        idx[row_axis] = row0
+        return jax.lax.dynamic_update_slice(c, rows, tuple(idx))
+
+    def write_one(c, tok, pos):
+        # tok: (..., 1, hs) at sequence position pos (traced or static)
+        pos = jnp.asarray(pos, jnp.int32)
+        row = pos // pack
+
+        def branch(j):
+            def f(c):
+                idx = [jnp.int32(0)] * c.ndim
+                idx[row_axis] = row
+                idx[-1] = jnp.int32(j * hs)
+                return jax.lax.dynamic_update_slice(c, tok, tuple(idx))
+            return f
+
+        return jax.lax.switch(pos % pack, [branch(j) for j in range(pack)], c)
+
+    if static_start:
+        start = int(start)
+        # leading partial row (start not on a pack boundary)
+        lead = (-start) % pack
+        lead = min(lead, t)
+        for i in range(lead):
+            c = write_one(c, new[..., i:i + 1, :], start + i)
+        new = new[..., lead:, :]
+        start += lead
+        t -= lead
+        # bulk: whole packed rows via one contiguous reshape
+        bulk = (t // pack) * pack
+        if bulk:
+            rows = new[..., :bulk, :].reshape(
+                *new.shape[:-2], bulk // pack, pack * hs
+            )
+            c = write_rows(c, rows, start // pack)
+        # trailing remainder
+        for i in range(bulk, t):
+            c = write_one(c, new[..., i:i + 1, :], start + i)
+        return c
+
+    if t != 1:
+        raise NotImplementedError(
+            "packed cache append with a traced start requires t == 1"
+        )
+    return write_one(c, new, start)
+
+
 def _attn_cached(q, kc, vc, start, t_new: int):
-    """Masked attention of ``t_new`` new queries against a (..., S, hs) cache.
+    """Masked attention of ``t_new`` new queries against a PACKED
+    (..., S/pack, pack*hs) — or plain (..., S, hs) — cache (see module
+    docstring for the layout rationale).
 
     Rows sit at absolute positions start..start+t_new-1; cache column j is
     visible iff j <= row position. Unwritten cache slots are masked out, so
@@ -96,22 +208,31 @@ def _attn_cached(q, kc, vc, start, t_new: int):
     sum accumulated in f32, result in the activation dtype.
 
     Single-position decode (t_new == 1) on TPU runs as ONE fused Pallas op
-    (ops/pallas_attention.decode_attention) — the dense expression below
-    costs ~10 dispatch-bound XLA regions per layer inside the serving scan.
+    (ops/pallas_attention.decode_attention_packed / decode_attention) — the
+    dense expression below costs ~10 dispatch-bound XLA regions per layer
+    inside the serving scan.
     """
+    hs = q.shape[-1]
     if t_new == 1:
         from ..ops.attention import _on_tpu
         from ..ops.pallas_attention import (
             decode_attention,
             decode_attention_eligible,
+            decode_attention_packed,
+            decode_attention_packed_eligible,
         )
 
         qb = jnp.broadcast_to(q, kc.shape[:-2] + q.shape[-2:])
-        if decode_attention_eligible(qb, kc) and _on_tpu():
-            return decode_attention(qb, kc, vc, start)
+        if _on_tpu():
+            if kc.shape[-1] != hs and decode_attention_packed_eligible(qb, kc):
+                return decode_attention_packed(qb, kc, vc, start)
+            if kc.shape[-1] == hs and decode_attention_eligible(qb, kc):
+                return decode_attention(qb, kc, vc, start)
+    kc = _unpack_cache(kc, hs)
+    vc = _unpack_cache(vc, hs)
     dt = q.dtype
     acc = jnp.float32
-    scale = q.shape[-1] ** -0.5
+    scale = hs ** -0.5
     s = jnp.einsum("...qh,...kh->...qk", q, kc, preferred_element_type=acc) * scale
     rows = start + jnp.arange(t_new, dtype=jnp.int32)
     cols = jnp.arange(kc.shape[-2], dtype=jnp.int32)
@@ -140,8 +261,8 @@ def _sa_cached(x_norm, sa, cfg: ModelConfig, kc, vc, start, prefill: bool = Fals
     k_new = _qkv_project(x_norm, sa["w1_k"], sa["b1_k"], sa["w2_k"], H, hs2)
     q = _qkv_project(x_norm, sa["w1_q"], sa["b1_q"], sa["w2_q"], H, hs2)
     v_new = _qkv_project(x_norm, sa["w1_v"], sa["b1_v"], sa["w2_v"], H, hs2)
-    kc = jax.lax.dynamic_update_slice_in_dim(kc, k_new.astype(kc.dtype), start, axis=3)
-    vc = jax.lax.dynamic_update_slice_in_dim(vc, v_new.astype(vc.dtype), start, axis=3)
+    kc = _cache_append(kc, k_new, start)
+    vc = _cache_append(vc, v_new, start)
     if prefill:
         att = causal_attention(q, k_new, v_new, impl=cfg.attn_impl)
     else:
@@ -165,8 +286,8 @@ def _cross_cached(y, kv_x_new, cp, cfg: ModelConfig, kc, vc, start,
     q = _mm("btc,hce->bhte", y, cp["q_w"])  # (B, H, t, hs)
     k_new = _mm("jbtc,jhcf->jbhtf", kv_x_new, cp["kv_w"][..., :hs])
     v_new = _mm("jbtc,jhcf->jbhtf", kv_x_new, cp["kv_w"][..., hs:])
-    kc = jax.lax.dynamic_update_slice_in_dim(kc, k_new.astype(kc.dtype), start, axis=3)
-    vc = jax.lax.dynamic_update_slice_in_dim(vc, v_new.astype(vc.dtype), start, axis=3)
+    kc = _cache_append(kc, k_new, start)
+    vc = _cache_append(vc, v_new, start)
     if prefill:  # empty cache: pure causal over new tokens (flash-eligible)
         att = cross_causal_attention(q, k_new, v_new, impl=cfg.attn_impl)
     else:

@@ -2353,6 +2353,216 @@ def decode_attention(
     return out.reshape(*lead, 1, hs)
 
 
+# ------------------------------------------------- decode, transposed cache
+#
+# The straight decode kernel reads (..., S, hs) cache blocks. With hs = 64
+# and bf16, the TPU's (8, 128) tiled layout pads the 64-lane minor dim to
+# 128 — every cache byte fetched twice. That padding is exactly the
+# measured 2.4x gap to the fetch floor (300 us/layer vs 123 us at S=1024,
+# TECHNICAL_NOTES "Serving roofline"). Storing the cache TRANSPOSED as
+# (..., hs, S) puts the long S axis on the lanes (S >= 128, no padding):
+# the same fetch moves half the bytes and the kernel runs at the true
+# floor. The score dot contracts hs as sublanes, the PV product contracts
+# S as lanes — both Mosaic-native forms.
+
+
+def _decode_t_kernel(q_ref, k_ref, v_ref, pos_ref, o_ref, *, g: int, scale: float):
+    q = q_ref[...]                       # (g, 1, hs)
+    kt = k_ref[...]                      # (g, hs, S)
+    s_len = kt.shape[2]
+    s = jax.lax.dot_general(
+        q, kt, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.float32) * scale        # (g, 1, S)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (g, 1, s_len), 2)
+    s = jnp.where(cols <= pos_ref[0], s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    w = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v_ref.dtype)
+    out = jax.lax.dot_general(
+        w, v_ref[...], dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                    # (g, 1, hs)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def decode_attention_t_eligible(q: jax.Array, kt: jax.Array) -> bool:
+    """One new query position against a TRANSPOSED cache row: q (..., 1, hs),
+    kt (..., hs, S) with matching leading dims. S must fill whole lane tiles
+    (multiple of 128) for the layout to pay."""
+    if q.ndim != kt.ndim or q.ndim < 3 or q.shape[-2] != 1:
+        return False
+    if q.shape[:-2] != kt.shape[:-2] or q.shape[-1] != kt.shape[-2]:
+        return False
+    return q.shape[-1] <= 256 and kt.shape[-1] % 128 == 0
+
+
+def decode_attention_t(
+    q: jax.Array, kt: jax.Array, vt: jax.Array, pos, interpret: bool = False
+) -> jax.Array:
+    """Fused single-position cached-decode attention over transposed caches.
+
+    q: (..., 1, hs); kt, vt: (..., hs, S); cache column j visible iff
+    j <= pos (a traced scalar). Returns (..., 1, hs) in q.dtype. Numerics
+    identical to ``decode_attention`` (f32 scores/softmax, probabilities in
+    the cache dtype for PV, f32 accumulation)."""
+    lead = q.shape[:-2]
+    hs = q.shape[-1]
+    s_len = kt.shape[-1]
+    n = 1
+    for d in lead:
+        n *= d
+    q3 = q.reshape(n, 1, hs)
+    k3 = kt.reshape(n, hs, s_len)
+    v3 = vt.reshape(n, hs, s_len)
+    # K/V blocks double-buffered (x2); f32 softmax intermediates ~16*S/row.
+    # Unlike the (S, hs) form, (hs, S) blocks occupy exactly their logical
+    # bytes in VMEM (no lane padding), so the same budget admits 2x the g.
+    budget = 8 * 1024 * 1024
+    per_row = 2 * 2 * s_len * hs * k3.dtype.itemsize + 16 * s_len
+    g = 1
+    for cand in (64, 32, 16, 8, 4, 2, 1):
+        if n % cand == 0 and cand * per_row <= budget:
+            g = cand
+            break
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    kernel = functools.partial(_decode_t_kernel, g=g, scale=hs ** -0.5)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, 1, hs), q.dtype),
+        grid=(n // g,),
+        in_specs=[
+            pl.BlockSpec((g, 1, hs), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, hs, s_len), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, hs, s_len), lambda i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((g, 1, hs), lambda i: (i, 0, 0)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n * s_len * hs,
+            bytes_accessed=2 * n * s_len * hs * k3.dtype.itemsize,
+            transcendentals=n * s_len,
+        ),
+    )(q3, k3, v3, pos_arr)
+    return out.reshape(*lead, 1, hs)
+
+
+# --------------------------------------------------- decode, PACKED cache
+#
+# The production serving layout (models/cache.py): positions pair up along
+# the lanes — (..., S/pack, pack*hs) with pack*hs == 128 — so the cache
+# reads at its logical bytes (like the transposed form) AND single-position
+# appends stay in-place sublane writes (unlike the transposed form, whose
+# lane-axis dynamic_update_slice measured a full-buffer rewrite per token:
+# 2.27 ms/step of DUS at S=1024/B=16). The kernel slices the packed lane
+# axis into its `pack` static sub-blocks, computes each half's masked
+# scores, and merges them through one global max/sum — exactly the dense
+# softmax over all S positions.
+
+
+def _decode_p_kernel(
+    q_ref, kp_ref, vp_ref, pos_ref, o_ref, *, g: int, pack: int, scale: float
+):
+    q = q_ref[...]                       # (g, 1, hs)
+    kp = kp_ref[...]                     # (g, Sp, pack*hs)
+    hs = q.shape[-1]
+    sp = kp.shape[1]
+    parts = []
+    for j in range(pack):
+        kj = jax.lax.slice_in_dim(kp, j * hs, (j + 1) * hs, axis=2)
+        s = jax.lax.dot_general(
+            q, kj, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.float32) * scale    # (g, 1, Sp)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (g, 1, sp), 2) * pack + j
+        parts.append(jnp.where(cols <= pos_ref[0], s, _NEG_INF))
+    m = parts[0]
+    for s in parts[1:]:
+        m = jnp.maximum(m, s)
+    m = jnp.max(m, axis=-1, keepdims=True)
+    l = jnp.zeros_like(m)
+    out = None
+    vp = vp_ref[...]
+    for j, s in enumerate(parts):
+        p = jnp.exp(s - m)
+        l = l + jnp.sum(p, axis=-1, keepdims=True)
+        vj = jax.lax.slice_in_dim(vp, j * hs, (j + 1) * hs, axis=2)
+        o = jax.lax.dot_general(
+            p.astype(vj.dtype), vj,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                # (g, 1, hs)
+        out = o if out is None else out + o
+    o_ref[...] = (out / l).astype(o_ref.dtype)
+
+
+def decode_attention_packed_eligible(q: jax.Array, kp: jax.Array) -> bool:
+    """q (..., 1, hs); kp (..., Sp, pack*hs) with pack*hs == 128 (full lane
+    tile) and Sp a multiple of 8 (whole sublane tiles)."""
+    if q.ndim != kp.ndim or q.ndim < 3 or q.shape[-2] != 1:
+        return False
+    hs = q.shape[-1]
+    if q.shape[:-2] != kp.shape[:-2]:
+        return False
+    if kp.shape[-1] != 128 or 128 % hs != 0 or hs >= 128:
+        return False
+    return kp.shape[-2] % 8 == 0
+
+
+def decode_attention_packed(
+    q: jax.Array, kp: jax.Array, vp: jax.Array, pos, interpret: bool = False
+) -> jax.Array:
+    """Fused single-position cached-decode attention over PACKED caches.
+
+    q: (..., 1, hs); kp, vp: (..., S/pack, pack*hs) where sequence position
+    ``i`` lives at row ``i // pack``, lane block ``i % pack``. Cache column
+    i is visible iff i <= pos. Returns (..., 1, hs) in q.dtype; numerics
+    match the dense masked softmax over all S positions (f32 scores and
+    softmax, probabilities cast to the cache dtype for PV, f32
+    accumulation)."""
+    lead = q.shape[:-2]
+    hs = q.shape[-1]
+    pack = kp.shape[-1] // hs
+    sp = kp.shape[-2]
+    n = 1
+    for d in lead:
+        n *= d
+    q3 = q.reshape(n, 1, hs)
+    k3 = kp.reshape(n, sp, pack * hs)
+    v3 = vp.reshape(n, sp, pack * hs)
+    budget = 8 * 1024 * 1024
+    per_row = 2 * 2 * sp * pack * hs * k3.dtype.itemsize + 16 * sp * pack
+    g = 1
+    for cand in (64, 32, 16, 8, 4, 2, 1):
+        if n % cand == 0 and cand * per_row <= budget:
+            g = cand
+            break
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    kernel = functools.partial(
+        _decode_p_kernel, g=g, pack=pack, scale=hs ** -0.5
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, 1, hs), q.dtype),
+        grid=(n // g,),
+        in_specs=[
+            pl.BlockSpec((g, 1, hs), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, sp, pack * hs), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, sp, pack * hs), lambda i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((g, 1, hs), lambda i: (i, 0, 0)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n * sp * pack * hs,
+            bytes_accessed=2 * n * sp * pack * hs * k3.dtype.itemsize,
+            transcendentals=n * sp * pack,
+        ),
+    )(q3, k3, v3, pos_arr)
+    return out.reshape(*lead, 1, hs)
+
+
 # ----------------------------------------------------------------- entry points
 
 
