@@ -1062,51 +1062,68 @@ class TestDecodePackedKernel:
 
 class TestCacheAppend:
     """models/cache._cache_append: packed-layout writes must equal writing
-    into the unpacked view, for static (prefill) and traced (decode scan)
-    starts, including pack-misaligned static starts."""
+    into the unpacked view at every VALID position (packed-row blocks past
+    the last written position may hold stale tail values by design — the
+    pos-mask hides them), for static (prefill) and traced (decode scan)
+    starts, including pack-misaligned static starts. The rolling tail must
+    always hold the last `pack` written columns."""
 
-    def _oracle(self, c, new, start, hs):
-        from trade_aid_multimodal_transformer_tpu.models.cache import _unpack_cache
+    def _check_valid(self, c_out, expect_flat, upto, hs):
+        from trade_aid_multimodal_transformer_tpu.models.cache import (
+            _unpack_cache,
+        )
 
-        flat = np.asarray(_unpack_cache(c, hs)).copy()
-        flat[..., start:start + new.shape[-2], :] = np.asarray(new)
-        pack = c.shape[-1] // hs
-        return flat.reshape(*c.shape[:-2], c.shape[-2], pack * hs)             if pack > 1 else flat
+        got = np.asarray(_unpack_cache(c_out, hs))[..., :upto, :]
+        np.testing.assert_allclose(got, expect_flat[..., :upto, :], atol=0)
 
     @pytest.mark.parametrize("start,t", [(0, 8), (3, 5), (7, 1), (2, 9)])
     def test_static_start(self, start, t):
-        from trade_aid_multimodal_transformer_tpu.models.cache import _cache_append
+        from trade_aid_multimodal_transformer_tpu.models.cache import (
+            _cache_append,
+        )
 
         hs, s_ = 32, 16
         pack = 128 // hs
         c = jnp.zeros((2, s_ // pack, 128), jnp.float32)
+        tail = jnp.zeros((2, pack, hs), jnp.float32)
         new = jax.random.normal(jax.random.PRNGKey(start * 10 + t), (2, t, hs))
-        out = _cache_append(c, new, start)
-        np.testing.assert_allclose(
-            np.asarray(out), self._oracle(c, new, start, hs), atol=0
-        )
+        out, tail_out = _cache_append(c, tail, new, start)
+        flat = np.zeros((2, s_, hs), np.float32)
+        flat[..., start:start + t, :] = np.asarray(new)
+        self._check_valid(out, flat, start + t, hs)
+        # tail holds the last `pack` written columns (zero-padded below)
+        expect_tail = np.zeros((2, pack, hs), np.float32)
+        n_tail = min(pack, t)
+        expect_tail[..., pack - n_tail:, :] = np.asarray(new)[..., t - n_tail:, :]
+        if t >= pack or start == 0:
+            np.testing.assert_allclose(np.asarray(tail_out), expect_tail, atol=0)
 
-    def test_traced_start_single_token(self):
-        from trade_aid_multimodal_transformer_tpu.models.cache import _cache_append
+    def test_traced_start_single_token_sequence(self):
+        from trade_aid_multimodal_transformer_tpu.models.cache import (
+            _cache_append,
+        )
 
         hs, s_ = 64, 8
         pack = 128 // hs
         c = jnp.zeros((3, s_ // pack, 128), jnp.float32)
-        new = jax.random.normal(jax.random.PRNGKey(1), (3, 1, hs))
+        tail = jnp.zeros((3, pack, hs), jnp.float32)
+        toks = jax.random.normal(jax.random.PRNGKey(1), (s_, 3, 1, hs))
 
-        f = jax.jit(lambda c, n, p: _cache_append(c, n, p))
-        for pos in range(s_):
-            out = f(c, new, jnp.asarray(pos, jnp.int32))
-            np.testing.assert_allclose(
-                np.asarray(out), self._oracle(c, new, pos, hs), atol=0
-            )
+        f = jax.jit(lambda c, tl, n, p: _cache_append(c, tl, n, p))
+        flat = np.zeros((3, s_, hs), np.float32)
+        for pos in range(s_):  # sequential decode, as the serving scan does
+            c, tail = f(c, tail, toks[pos], jnp.asarray(pos, jnp.int32))
+            flat[..., pos, :] = np.asarray(toks[pos][..., 0, :])
+            self._check_valid(c, flat, pos + 1, hs)
 
     def test_plain_layout_passthrough(self):
-        from trade_aid_multimodal_transformer_tpu.models.cache import _cache_append
+        from trade_aid_multimodal_transformer_tpu.models.cache import (
+            _cache_append,
+        )
 
         c = jnp.zeros((2, 16, 48), jnp.float32)  # hs=48: no packing
         new = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 48))
-        out = _cache_append(c, new, 5)
+        out, _ = _cache_append(c, None, new, 5)
         ref = np.asarray(c).copy()
         ref[:, 5:9, :] = np.asarray(new)
         np.testing.assert_allclose(np.asarray(out), ref, atol=0)

@@ -103,6 +103,12 @@ def init_cache(cfg: ModelConfig, batch: int, params: Dict[str, Any]) -> List[Dic
             "sa_v": jnp.zeros((M, batch, H) + shape_tail, dt),
             "cross": {},
         }
+        if pack > 1:
+            # rolling tail of the last `pack` written columns — decode-time
+            # appends rebuild their packed row from it instead of reading
+            # the cache (_cache_append)
+            bc["sa_k_tail"] = jnp.zeros((M, batch, H, pack, hs), dt)
+            bc["sa_v_tail"] = jnp.zeros((M, batch, H, pack, hs), dt)
         if block["cross"]:
             for i_str in block["cross"]:
                 kv_idx = cfg.kv_modalities(int(i_str))
@@ -113,6 +119,13 @@ def init_cache(cfg: ModelConfig, batch: int, params: Dict[str, Any]) -> List[Dic
                     "k": jnp.zeros((J, batch, H) + shape_tail, dt),
                     "v": jnp.zeros((J, batch, H) + shape_tail, dt),
                 }
+                if pack > 1:
+                    bc["cross"][i_str]["k_tail"] = jnp.zeros(
+                        (J, batch, H, pack, hs), dt
+                    )
+                    bc["cross"][i_str]["v_tail"] = jnp.zeros(
+                        (J, batch, H, pack, hs), dt
+                    )
         caches.append(bc)
     return caches
 
@@ -126,23 +139,36 @@ def _unpack_cache(c, hs: int):
     return c.reshape(*c.shape[:-2], sp * pack, hs)
 
 
-def _cache_append(c, new, start):
-    """Write ``new`` (..., t, hs) at positions start..start+t-1 of cache ``c``.
+def _cache_append(c, tail, new, start):
+    """Write ``new`` (..., t, hs) at positions start..start+t-1 of cache
+    ``c``; returns ``(c, tail)``.
 
     Plain layout (pack == 1): one in-place dynamic_update_slice along the
-    second-minor sequence axis. Packed layout: a STATIC start (prefill)
-    splits into whole packed rows plus a static remainder; a traced start
-    (the decode scan's position carry) requires t == 1 and branches over
-    the ``pack`` static lane offsets (lax.switch), so the update region is
-    always statically-shaped with a static minor offset — the form XLA
-    updates in place (a dynamic lane offset measured as a full-buffer
-    rewrite per token)."""
+    second-minor sequence axis (``tail`` is ignored and returned as-is).
+
+    Packed layout: ``tail`` (..., pack, hs) carries the last ``pack``
+    written columns. Every single-position append rebuilds its FULL packed
+    row from the tail — block j <= pos%pack comes from the tail (a roll),
+    higher blocks hold stale values that the pos-mask hides — and writes it
+    with one full-minor dynamic_update_slice at a (possibly traced)
+    second-minor row index: the form XLA updates in place. Two measured
+    dead ends this replaces: a lax.switch over per-lane-offset DUS branches
+    (44 us per write — the conditional blocks in-place aliasing) and a
+    read-blend-write of the live row (in-place, but the dynamic_slice READ
+    made XLA flip the cache to a row-major-most layout, inserting a
+    full-cache layout-conversion copy at every Pallas decode call —
+    1.87 ms/step). Static starts (prefill) bulk-write whole packed rows via
+    one contiguous reshape.
+    """
     hs = new.shape[-1]
     t = new.shape[-2]
     pack = c.shape[-1] // hs
     new = new.astype(c.dtype)
     if pack == 1:
-        return jax.lax.dynamic_update_slice_in_dim(c, new, start, axis=c.ndim - 2)
+        return (
+            jax.lax.dynamic_update_slice_in_dim(c, new, start, axis=c.ndim - 2),
+            tail,
+        )
     row_axis = c.ndim - 2
     static_start = isinstance(start, (int, np.integer))
 
@@ -152,48 +178,47 @@ def _cache_append(c, new, start):
         idx[row_axis] = row0
         return jax.lax.dynamic_update_slice(c, rows, tuple(idx))
 
-    def write_one(c, tok, pos):
+    def write_one(c, tail, tok, pos):
         # tok: (..., 1, hs) at sequence position pos (traced or static)
+        tail = jnp.concatenate([tail[..., 1:, :], tok], axis=-2)
         pos = jnp.asarray(pos, jnp.int32)
-        row = pos // pack
-
-        def branch(j):
-            def f(c):
-                idx = [jnp.int32(0)] * c.ndim
-                idx[row_axis] = row
-                idx[-1] = jnp.int32(j * hs)
-                return jax.lax.dynamic_update_slice(c, tok, tuple(idx))
-            return f
-
-        return jax.lax.switch(pos % pack, [branch(j) for j in range(pack)], c)
+        # tail[k] holds position pos - (pack-1) + k; block j of the row
+        # needs position pos - pos%pack + j -> roll by (pos%pack) + 1
+        row_blocks = jnp.roll(tail, pos % pack + 1, axis=-2)
+        row = row_blocks.reshape(*row_blocks.shape[:-2], 1, pack * hs)
+        idx = [jnp.int32(0)] * c.ndim
+        idx[row_axis] = pos // pack
+        return jax.lax.dynamic_update_slice(c, row, tuple(idx)), tail
 
     if static_start:
         start = int(start)
         # leading partial row (start not on a pack boundary)
-        lead = (-start) % pack
-        lead = min(lead, t)
+        lead = min((-start) % pack, t)
         for i in range(lead):
-            c = write_one(c, new[..., i:i + 1, :], start + i)
-        new = new[..., lead:, :]
+            c, tail = write_one(c, tail, new[..., i:i + 1, :], start + i)
+        rest = new[..., lead:, :]
         start += lead
         t -= lead
         # bulk: whole packed rows via one contiguous reshape
         bulk = (t // pack) * pack
         if bulk:
-            rows = new[..., :bulk, :].reshape(
-                *new.shape[:-2], bulk // pack, pack * hs
+            rows = rest[..., :bulk, :].reshape(
+                *rest.shape[:-2], bulk // pack, pack * hs
             )
             c = write_rows(c, rows, start // pack)
+            tail = jnp.concatenate(
+                [tail, rest[..., :bulk, :]], axis=-2
+            )[..., -pack:, :]
         # trailing remainder
         for i in range(bulk, t):
-            c = write_one(c, new[..., i:i + 1, :], start + i)
-        return c
+            c, tail = write_one(c, tail, rest[..., i:i + 1, :], start + i)
+        return c, tail
 
     if t != 1:
         raise NotImplementedError(
             "packed cache append with a traced start requires t == 1"
         )
-    return write_one(c, new, start)
+    return write_one(c, tail, new, start)
 
 
 def _attn_cached(q, kc, vc, start, t_new: int):
@@ -245,7 +270,7 @@ def _attn_cached(q, kc, vc, start, t_new: int):
     return out.astype(dt)
 
 
-def _sa_cached(x_norm, sa, cfg: ModelConfig, kc, vc, start, prefill: bool = False):
+def _sa_cached(x_norm, sa, cfg: ModelConfig, entry, start, prefill: bool = False):
     """Self-attention with cache append. x_norm: (M, B, t, C).
 
     ``prefill=True`` (static; requires start == 0 and an empty cache) runs
@@ -261,18 +286,22 @@ def _sa_cached(x_norm, sa, cfg: ModelConfig, kc, vc, start, prefill: bool = Fals
     k_new = _qkv_project(x_norm, sa["w1_k"], sa["b1_k"], sa["w2_k"], H, hs2)
     q = _qkv_project(x_norm, sa["w1_q"], sa["b1_q"], sa["w2_q"], H, hs2)
     v_new = _qkv_project(x_norm, sa["w1_v"], sa["b1_v"], sa["w2_v"], H, hs2)
-    kc = _cache_append(kc, k_new, start)
-    vc = _cache_append(vc, v_new, start)
+    kc, ktl = _cache_append(entry["sa_k"], entry.get("sa_k_tail"), k_new, start)
+    vc, vtl = _cache_append(entry["sa_v"], entry.get("sa_v_tail"), v_new, start)
     if prefill:
         att = causal_attention(q, k_new, v_new, impl=cfg.attn_impl)
     else:
         att = _attn_cached(q, kc, vc, start, t)  # (M, B, H, t, hs)
     out = att.transpose(0, 1, 3, 2, 4).reshape(M, B, t, H * hs)
     out = _proj_mlp(out, sa["proj_w1"], sa["proj_b1"], sa["proj_w2"], sa["proj_b2"])
-    return out, kc, vc
+    new_entry = {"sa_k": kc, "sa_v": vc}
+    if ktl is not None:
+        new_entry["sa_k_tail"] = ktl
+        new_entry["sa_v_tail"] = vtl
+    return out, new_entry
 
 
-def _cross_cached(y, kv_x_new, cp, cfg: ModelConfig, kc, vc, start,
+def _cross_cached(y, kv_x_new, cp, cfg: ModelConfig, entry, start,
                   prefill: bool = False):
     """Cross-attention with cache append.
 
@@ -286,15 +315,19 @@ def _cross_cached(y, kv_x_new, cp, cfg: ModelConfig, kc, vc, start,
     q = _mm("btc,hce->bhte", y, cp["q_w"])  # (B, H, t, hs)
     k_new = _mm("jbtc,jhcf->jbhtf", kv_x_new, cp["kv_w"][..., :hs])
     v_new = _mm("jbtc,jhcf->jbhtf", kv_x_new, cp["kv_w"][..., hs:])
-    kc = _cache_append(kc, k_new, start)
-    vc = _cache_append(vc, v_new, start)
+    kc, ktl = _cache_append(entry["k"], entry.get("k_tail"), k_new, start)
+    vc, vtl = _cache_append(entry["v"], entry.get("v_tail"), v_new, start)
     if prefill:  # empty cache: pure causal over new tokens (flash-eligible)
         att = cross_causal_attention(q, k_new, v_new, impl=cfg.attn_impl)
     else:
         att = _attn_cached(q[None], kc, vc, start, t).sum(axis=0)  # (B, H, t, hs)
     out = att.transpose(0, 2, 1, 3).reshape(B, t, -1)
     out = _proj_mlp(out, cp["proj_w1"], cp["proj_b1"], cp["proj_w2"], cp["proj_b2"])
-    return out, kc, vc
+    new_entry = {"k": kc, "v": vc}
+    if ktl is not None:
+        new_entry["k_tail"] = ktl
+        new_entry["v_tail"] = vtl
+    return out, new_entry
 
 
 def block_forward_cached(x, block, cache, start, cfg: ModelConfig,
@@ -306,16 +339,17 @@ def block_forward_cached(x, block, cache, start, cfg: ModelConfig,
     Inference only (train=False — dropout layers are identity).
     """
     keys = KeyGen(None)
-    sa_out, kc, vc = _sa_cached(
+    sa_out, new_sa = _sa_cached(
         layernorm(x, block["ln1"]["scale"], block["ln1"]["bias"]),
-        block["sa"], cfg, cache["sa_k"], cache["sa_v"], start, prefill,
+        block["sa"], cfg, cache, start, prefill,
     )
     x = x + sa_out
     x = x + feed_forward(
         layernorm(x, block["ln2"]["scale"], block["ln2"]["bias"]),
         block["ffwd"], cfg, keys, False,
     )
-    new_cache: Dict[str, Any] = {"sa_k": kc, "sa_v": vc, "cross": {}}
+    new_cache: Dict[str, Any] = dict(new_sa)
+    new_cache["cross"] = {}
     if block["cross"]:
         updates = {}
         for i_str, cp in block["cross"].items():
@@ -326,10 +360,9 @@ def block_forward_cached(x, block, cache, start, cfg: ModelConfig,
             kv_x = x[jnp.array(kv_idx)] if len(kv_idx) > 1 else x[kv_idx[0]][None]
             y = layernorm(x[i], cp["ln_scale"], cp["ln_bias"])
             cc = cache["cross"][i_str]
-            out, ck, cv = _cross_cached(
-                y, kv_x, cp, cfg, cc["k"], cc["v"], start, prefill)
+            out, new_cc = _cross_cached(y, kv_x, cp, cfg, cc, start, prefill)
             updates[i] = x[i] + out
-            new_cache["cross"][i_str] = {"k": ck, "v": cv}
+            new_cache["cross"][i_str] = new_cc
         if updates:
             x = jnp.stack(
                 [updates.get(i, x[i]) for i in range(cfg.num_modalities)]
