@@ -355,12 +355,14 @@ def bench_long_context():
     return results
 
 
-def bench_serve():
+def bench_serve(kv_dtype=None):
     """KV-cached serving throughput at a 16x-longer context than the
     production block (T=1024): ``generate_serve`` in the steady
     chunked-refresh regime — the prompt fills the window, so every measured
     token is a cached single-position decode, with one (now flash-kerneled)
-    prefill amortized per ``refresh`` tokens (models/cache.py)."""
+    prefill amortized per ``refresh`` tokens (models/cache.py).
+    ``kv_dtype='int8'`` measures the quantized-cache variant (half the
+    decode cache traffic — the ceiling itself moves)."""
     import jax.numpy as jnp
 
     from trade_aid_multimodal_transformer_tpu.models.cache import generate_serve
@@ -374,11 +376,14 @@ def bench_serve():
         [rng.integers(0, v, (B, S)) for v in cfg.vocab_sizes]
     ).astype(np.int32))
     key = jax.random.PRNGKey(1)
-    dsync(generate_serve(params, cfg, prompt, key, new, refresh=refresh))
+    run = lambda: generate_serve(
+        params, cfg, prompt, key, new, refresh=refresh, kv_dtype=kv_dtype
+    )
+    dsync(run())
     best = 0.0
     for _ in range(2):
         t0 = time.perf_counter()
-        dsync(generate_serve(params, cfg, prompt, key, new, refresh=refresh))
+        dsync(run())
         best = max(best, B * new / (time.perf_counter() - t0))
     return best
 
@@ -475,6 +480,9 @@ def main():
     serve = _guard("serve", bench_serve, None)
     if serve:
         log(f"serve T=1024 (B=16, chunked refresh): {serve:.0f} tok/s")
+    serve8 = _guard("serve_int8", lambda: bench_serve("int8"), None)
+    if serve8:
+        log(f"serve T=1024 int8 KV (B=16, chunked refresh): {serve8:.0f} tok/s")
     runner_sps = _guard("runner", bench_runner, None)
     if runner_sps:
         log(f"run_training (shipped entry path, demo config): "
@@ -544,6 +552,12 @@ def main():
                         "metric": "flash_speedup_T4096",
                         "value": r(lc["flash_speedup"]),
                         "unit": "x vs dense attention (fwd+bwd)",
+                        "vs_baseline": None,
+                    },
+                    {
+                        "metric": "serve_tokens_per_sec_T1024_int8kv",
+                        "value": r(serve8, 0),
+                        "unit": "tok/s (int8 KV cache, B=16)",
                         "vs_baseline": None,
                     },
                     {

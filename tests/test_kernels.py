@@ -1087,7 +1087,7 @@ class TestCacheAppend:
         c = jnp.zeros((2, s_ // pack, 128), jnp.float32)
         tail = jnp.zeros((2, pack, hs), jnp.float32)
         new = jax.random.normal(jax.random.PRNGKey(start * 10 + t), (2, t, hs))
-        out, tail_out = _cache_append(c, tail, new, start)
+        out, tail_out, _ = _cache_append(c, tail, new, start)
         flat = np.zeros((2, s_, hs), np.float32)
         flat[..., start:start + t, :] = np.asarray(new)
         self._check_valid(out, flat, start + t, hs)
@@ -1112,7 +1112,7 @@ class TestCacheAppend:
         f = jax.jit(lambda c, tl, n, p: _cache_append(c, tl, n, p))
         flat = np.zeros((3, s_, hs), np.float32)
         for pos in range(s_):  # sequential decode, as the serving scan does
-            c, tail = f(c, tail, toks[pos], jnp.asarray(pos, jnp.int32))
+            c, tail, _ = f(c, tail, toks[pos], jnp.asarray(pos, jnp.int32))
             flat[..., pos, :] = np.asarray(toks[pos][..., 0, :])
             self._check_valid(c, flat, pos + 1, hs)
 
@@ -1123,7 +1123,7 @@ class TestCacheAppend:
 
         c = jnp.zeros((2, 16, 48), jnp.float32)  # hs=48: no packing
         new = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 48))
-        out, _ = _cache_append(c, None, new, 5)
+        out, _, _ = _cache_append(c, None, new, 5)
         ref = np.asarray(c).copy()
         ref[:, 5:9, :] = np.asarray(new)
         np.testing.assert_allclose(np.asarray(out), ref, atol=0)
@@ -1177,6 +1177,20 @@ class TestTPULowering:
         jax.jit(
             lambda q, k, v: decode_attention_packed(q, k, v, jnp.asarray(7))
         ).trace(qd, cache_p, cache_p).lower(lowering_platforms=("tpu",))
+
+        from trade_aid_multimodal_transformer_tpu.ops.pallas_attention import (
+            decode_attention_packed_q8,
+        )
+
+        cache_q8 = jnp.zeros((48, 512, 128), jnp.int8)
+        sc8 = jnp.zeros((48, 512), jnp.float32)
+        jax.jit(
+            lambda q, k, v, ks, vs: decode_attention_packed_q8(
+                q, k, v, ks, vs, jnp.asarray(7)
+            )
+        ).trace(qd, cache_q8, cache_q8, sc8, sc8).lower(
+            lowering_platforms=("tpu",)
+        )
 
         def flash_fwdbwd(q, k, v):
             return jax.grad(
@@ -1248,3 +1262,82 @@ class TestKernelUnderPjit:
         out = f(qs, qs, qs)
         ref = causal_attention_jnp(q, q, q)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestDecodeInt8:
+    """int8 KV-cache decode (models/cache kv_dtype='int8'): the quantized
+    kernel must match the dense dequantized expression exactly, and the
+    quantization itself must stay within int8 rounding of the exact
+    attention output."""
+
+    def _quantized(self, key, shape_rows, hs):
+        from trade_aid_multimodal_transformer_tpu.models.cache import (
+            _quantize_rows,
+        )
+
+        raw = jax.random.normal(key, shape_rows, jnp.float32)
+        q8, scale = _quantize_rows(raw)
+        return raw, q8, scale
+
+    def test_kernel_matches_dense_dequant(self):
+        from trade_aid_multimodal_transformer_tpu.models.cache import _attn_cached
+        from trade_aid_multimodal_transformer_tpu.ops.pallas_attention import (
+            decode_attention_packed_q8,
+        )
+
+        s_, hs = 128, 32
+        pack = 128 // hs
+        sp = s_ // pack
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        q = jax.random.normal(ks[0], (4, 1, hs), jnp.float32)
+        _, kp, ksc = self._quantized(ks[1], (4, sp, 128), hs)
+        _, vp, vsc = self._quantized(ks[2], (4, sp, 128), hs)
+        pos = jnp.asarray(97)
+        ref = _attn_cached(q, kp, vp, pos, 1, ksc, vsc)
+        out = decode_attention_packed_q8(q, kp, vp, ksc, vsc, pos, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_quantization_error_bounded(self):
+        """Dense int8 attention vs exact f32 attention on the same values:
+        the deviation must be small (int8 rounding), not structural."""
+        from trade_aid_multimodal_transformer_tpu.models.cache import (
+            _attn_cached, _quantize_rows,
+        )
+
+        s_, hs = 64, 64
+        pack = 128 // hs
+        sp = s_ // pack
+        ks = jax.random.split(jax.random.PRNGKey(9), 3)
+        q = jax.random.normal(ks[0], (4, 1, hs), jnp.float32)
+        k_raw = jax.random.normal(ks[1], (4, sp, 128), jnp.float32)
+        v_raw = jax.random.normal(ks[2], (4, sp, 128), jnp.float32)
+        kq, ksc = _quantize_rows(k_raw)
+        vq, vsc = _quantize_rows(v_raw)
+        pos = jnp.asarray(s_ - 1)
+        exact = _attn_cached(q, k_raw, v_raw, pos, 1)
+        approx = _attn_cached(q, kq, vq, pos, 1, ksc, vsc)
+        err = np.max(np.abs(np.asarray(exact) - np.asarray(approx)))
+        assert err < 0.05, err  # int8 rounding scale, not a structural break
+
+    def test_generate_serve_int8_smoke(self):
+        """kv_dtype='int8' end-to-end on CPU: valid tokens, same shapes."""
+        from trade_aid_multimodal_transformer_tpu.models.cache import generate_serve
+        from trade_aid_multimodal_transformer_tpu.models.config import ModelConfig
+        from trade_aid_multimodal_transformer_tpu.models.init import init_params
+
+        cfg = ModelConfig(
+            vocab_sizes=(13, 5), cross_attention=(True, False), n_embd=16,
+            n_head=2, n_layer=1, block_size=128, dropout=0.0, attn_impl="jnp",
+        )
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        prompt = jnp.asarray(np.stack(
+            [rng.integers(0, v, (2, 128)) for v in cfg.vocab_sizes]
+        ).astype(np.int32))
+        out = generate_serve(
+            params, cfg, prompt, jax.random.PRNGKey(1), 8, refresh=4,
+            kv_dtype="int8",
+        )
+        assert out.shape == (2, 2, 136)
+        gen = np.asarray(out[0, :, 128:])
+        assert gen.min() >= 0 and gen.max() < 13

@@ -45,6 +45,9 @@ def main() -> int:
                          "refresh approximation past a full window")
     ap.add_argument("--refresh", type=int, default=None,
                     help="--serve refresh period (default block_size // 8)")
+    ap.add_argument("--kv-dtype", default=None, choices=[None, "int8"],
+                    help="--serve KV-cache storage dtype: int8 halves decode "
+                         "cache traffic (quantized, serving-only)")
     args = ap.parse_args()
 
     # resolve an explicit --checkpoint against the SHELL's cwd before chdir
@@ -139,7 +142,7 @@ def main() -> int:
         out = generate_serve(
             params, cfg, idx, jax.random.PRNGKey(args.seed),
             max_new_tokens=args.tokens, modality_to_generate=args.modality,
-            refresh=args.refresh,
+            refresh=args.refresh, kv_dtype=args.kv_dtype,
         )
     else:
         out = generate_fast(

@@ -88,27 +88,47 @@ def cache_pack(hs: int, S: int) -> int:
     return pack
 
 
-def init_cache(cfg: ModelConfig, batch: int, params: Dict[str, Any]) -> List[Dict]:
-    """Zero-filled cache pytree matching ``params['blocks']`` structure."""
+def init_cache(
+    cfg: ModelConfig, batch: int, params: Dict[str, Any],
+    kv_dtype: str = None,
+) -> List[Dict]:
+    """Zero-filled cache pytree matching ``params['blocks']`` structure.
+
+    ``kv_dtype='int8'`` (serving-only, packed layouts only): K/V quantize
+    to int8 with one f32 scale per packed row — decode-time cache traffic
+    halves, doubling the HBM-bound serving ceiling. Opt-in approximation
+    (scores perturb ~0.4%/element); the exact generate paths never use it.
+    """
     M, H, S, hs = cfg.num_modalities, cfg.n_head, cfg.block_size, cfg.head_size
     dt = cfg.activation_dtype if hasattr(cfg, "activation_dtype") else (
         jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     )
     pack = cache_pack(hs, S)
+    q8 = kv_dtype == "int8"
+    if q8 and pack == 1:
+        raise ValueError(
+            "kv_dtype='int8' requires the packed cache layout "
+            f"(head_size {hs} / block_size {S} pack to {pack})"
+        )
+    store_dt = jnp.int8 if q8 else dt
     shape_tail = (S // pack, pack * hs)
     caches = []
     for block in params["blocks"]:
         bc: Dict[str, Any] = {
-            "sa_k": jnp.zeros((M, batch, H) + shape_tail, dt),
-            "sa_v": jnp.zeros((M, batch, H) + shape_tail, dt),
+            "sa_k": jnp.zeros((M, batch, H) + shape_tail, store_dt),
+            "sa_v": jnp.zeros((M, batch, H) + shape_tail, store_dt),
             "cross": {},
         }
         if pack > 1:
             # rolling tail of the last `pack` written columns — decode-time
             # appends rebuild their packed row from it instead of reading
-            # the cache (_cache_append)
+            # the cache (_cache_append); always full-precision so later
+            # rewrites of the same row requantize from exact values
             bc["sa_k_tail"] = jnp.zeros((M, batch, H, pack, hs), dt)
             bc["sa_v_tail"] = jnp.zeros((M, batch, H, pack, hs), dt)
+        if q8:
+            bc["sa_k_scale"] = jnp.zeros((M, batch, H, S // pack), jnp.float32)
+            bc["sa_v_scale"] = jnp.zeros((M, batch, H, S // pack), jnp.float32)
         if block["cross"]:
             for i_str in block["cross"]:
                 kv_idx = cfg.kv_modalities(int(i_str))
@@ -116,8 +136,8 @@ def init_cache(cfg: ModelConfig, batch: int, params: Dict[str, Any]) -> List[Dic
                     continue
                 J = len(kv_idx)
                 bc["cross"][i_str] = {
-                    "k": jnp.zeros((J, batch, H) + shape_tail, dt),
-                    "v": jnp.zeros((J, batch, H) + shape_tail, dt),
+                    "k": jnp.zeros((J, batch, H) + shape_tail, store_dt),
+                    "v": jnp.zeros((J, batch, H) + shape_tail, store_dt),
                 }
                 if pack > 1:
                     bc["cross"][i_str]["k_tail"] = jnp.zeros(
@@ -126,8 +146,25 @@ def init_cache(cfg: ModelConfig, batch: int, params: Dict[str, Any]) -> List[Dic
                     bc["cross"][i_str]["v_tail"] = jnp.zeros(
                         (J, batch, H, pack, hs), dt
                     )
+                if q8:
+                    bc["cross"][i_str]["k_scale"] = jnp.zeros(
+                        (J, batch, H, S // pack), jnp.float32
+                    )
+                    bc["cross"][i_str]["v_scale"] = jnp.zeros(
+                        (J, batch, H, S // pack), jnp.float32
+                    )
         caches.append(bc)
     return caches
+
+
+def _quantize_rows(rows):
+    """(..., r, pack*hs) f32/bf16 -> (int8 rows, (..., r) f32 scales)."""
+    a = rows.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(a), axis=-1) + 1e-12
+    q = jnp.clip(
+        jnp.round(a * (127.0 / scale[..., None])), -127.0, 127.0
+    ).astype(jnp.int8)
+    return q, scale
 
 
 def _unpack_cache(c, hs: int):
@@ -139,9 +176,14 @@ def _unpack_cache(c, hs: int):
     return c.reshape(*c.shape[:-2], sp * pack, hs)
 
 
-def _cache_append(c, tail, new, start):
+def _cache_append(c, tail, new, start, scale=None):
     """Write ``new`` (..., t, hs) at positions start..start+t-1 of cache
-    ``c``; returns ``(c, tail)``.
+    ``c``; returns ``(c, tail, scale)``.
+
+    With an int8 cache (``scale`` is its per-packed-row f32 scale buffer,
+    shape (..., S/pack)), every written row quantizes via _quantize_rows —
+    the full-precision tail makes later rewrites of a partially-filled row
+    requantize from exact values.
 
     Plain layout (pack == 1): one in-place dynamic_update_slice along the
     second-minor sequence axis (``tail`` is ignored and returned as-is).
@@ -163,39 +205,49 @@ def _cache_append(c, tail, new, start):
     hs = new.shape[-1]
     t = new.shape[-2]
     pack = c.shape[-1] // hs
-    new = new.astype(c.dtype)
+    q8 = c.dtype == jnp.int8
+    if not q8:
+        new = new.astype(c.dtype)
     if pack == 1:
         return (
             jax.lax.dynamic_update_slice_in_dim(c, new, start, axis=c.ndim - 2),
             tail,
+            scale,
         )
     row_axis = c.ndim - 2
     static_start = isinstance(start, (int, np.integer))
 
-    def write_rows(c, rows, row0):
+    def store_rows(c, scale, rows, row0):
         # rows: (..., r, pack*hs) whole packed rows at packed-row index row0
-        idx = [0] * c.ndim
+        # (row0 may be traced; for q8 the matching scales write alongside)
+        if q8:
+            rows, rscale = _quantize_rows(rows)
+            scale = jax.lax.dynamic_update_slice_in_dim(
+                scale, rscale.astype(scale.dtype), row0, axis=scale.ndim - 1
+            )
+        idx = [0] * c.ndim if isinstance(row0, int) else [jnp.int32(0)] * c.ndim
         idx[row_axis] = row0
-        return jax.lax.dynamic_update_slice(c, rows, tuple(idx))
+        return jax.lax.dynamic_update_slice(c, rows.astype(c.dtype), tuple(idx)), scale
 
-    def write_one(c, tail, tok, pos):
+    def write_one(c, tail, scale, tok, pos):
         # tok: (..., 1, hs) at sequence position pos (traced or static)
-        tail = jnp.concatenate([tail[..., 1:, :], tok], axis=-2)
+        tail = jnp.concatenate([tail[..., 1:, :], tok.astype(tail.dtype)], axis=-2)
         pos = jnp.asarray(pos, jnp.int32)
         # tail[k] holds position pos - (pack-1) + k; block j of the row
         # needs position pos - pos%pack + j -> roll by (pos%pack) + 1
         row_blocks = jnp.roll(tail, pos % pack + 1, axis=-2)
         row = row_blocks.reshape(*row_blocks.shape[:-2], 1, pack * hs)
-        idx = [jnp.int32(0)] * c.ndim
-        idx[row_axis] = pos // pack
-        return jax.lax.dynamic_update_slice(c, row, tuple(idx)), tail
+        c, scale = store_rows(c, scale, row, pos // pack)
+        return c, tail, scale
 
     if static_start:
         start = int(start)
         # leading partial row (start not on a pack boundary)
         lead = min((-start) % pack, t)
         for i in range(lead):
-            c, tail = write_one(c, tail, new[..., i:i + 1, :], start + i)
+            c, tail, scale = write_one(
+                c, tail, scale, new[..., i:i + 1, :], start + i
+            )
         rest = new[..., lead:, :]
         start += lead
         t -= lead
@@ -205,23 +257,25 @@ def _cache_append(c, tail, new, start):
             rows = rest[..., :bulk, :].reshape(
                 *rest.shape[:-2], bulk // pack, pack * hs
             )
-            c = write_rows(c, rows, start // pack)
+            c, scale = store_rows(c, scale, rows, start // pack)
             tail = jnp.concatenate(
-                [tail, rest[..., :bulk, :]], axis=-2
+                [tail, rest[..., :bulk, :].astype(tail.dtype)], axis=-2
             )[..., -pack:, :]
         # trailing remainder
         for i in range(bulk, t):
-            c, tail = write_one(c, tail, rest[..., i:i + 1, :], start + i)
-        return c, tail
+            c, tail, scale = write_one(
+                c, tail, scale, rest[..., i:i + 1, :], start + i
+            )
+        return c, tail, scale
 
     if t != 1:
         raise NotImplementedError(
             "packed cache append with a traced start requires t == 1"
         )
-    return write_one(c, tail, new, start)
+    return write_one(c, tail, scale, new, start)
 
 
-def _attn_cached(q, kc, vc, start, t_new: int):
+def _attn_cached(q, kc, vc, start, t_new: int, k_scale=None, v_scale=None):
     """Masked attention of ``t_new`` new queries against a PACKED
     (..., S/pack, pack*hs) — or plain (..., S, hs) — cache (see module
     docstring for the layout rationale).
@@ -238,6 +292,7 @@ def _attn_cached(q, kc, vc, start, t_new: int):
     inside the serving scan.
     """
     hs = q.shape[-1]
+    q8 = kc.dtype == jnp.int8
     if t_new == 1:
         from ..ops.attention import _on_tpu
         from ..ops.pallas_attention import (
@@ -245,14 +300,26 @@ def _attn_cached(q, kc, vc, start, t_new: int):
             decode_attention_eligible,
             decode_attention_packed,
             decode_attention_packed_eligible,
+            decode_attention_packed_q8,
         )
 
         qb = jnp.broadcast_to(q, kc.shape[:-2] + q.shape[-2:])
         if _on_tpu():
-            if kc.shape[-1] != hs and decode_attention_packed_eligible(qb, kc):
+            if q8 and decode_attention_packed_eligible(
+                qb, jnp.zeros(kc.shape, q.dtype)
+            ):
+                return decode_attention_packed_q8(
+                    qb, kc, vc, k_scale, v_scale, start
+                )
+            if not q8 and kc.shape[-1] != hs and decode_attention_packed_eligible(qb, kc):
                 return decode_attention_packed(qb, kc, vc, start)
-            if kc.shape[-1] == hs and decode_attention_eligible(qb, kc):
+            if not q8 and kc.shape[-1] == hs and decode_attention_eligible(qb, kc):
                 return decode_attention(qb, kc, vc, start)
+    if q8:
+        pack = kc.shape[-1] // hs
+        inv = 1.0 / 127.0
+        kc = (kc.astype(jnp.float32) * (k_scale[..., None] * inv)).astype(q.dtype)
+        vc = (vc.astype(jnp.float32) * (v_scale[..., None] * inv)).astype(q.dtype)
     kc = _unpack_cache(kc, hs)
     vc = _unpack_cache(vc, hs)
     dt = q.dtype
@@ -286,18 +353,27 @@ def _sa_cached(x_norm, sa, cfg: ModelConfig, entry, start, prefill: bool = False
     k_new = _qkv_project(x_norm, sa["w1_k"], sa["b1_k"], sa["w2_k"], H, hs2)
     q = _qkv_project(x_norm, sa["w1_q"], sa["b1_q"], sa["w2_q"], H, hs2)
     v_new = _qkv_project(x_norm, sa["w1_v"], sa["b1_v"], sa["w2_v"], H, hs2)
-    kc, ktl = _cache_append(entry["sa_k"], entry.get("sa_k_tail"), k_new, start)
-    vc, vtl = _cache_append(entry["sa_v"], entry.get("sa_v_tail"), v_new, start)
+    kc, ktl, ksc = _cache_append(
+        entry["sa_k"], entry.get("sa_k_tail"), k_new, start,
+        scale=entry.get("sa_k_scale"),
+    )
+    vc, vtl, vsc = _cache_append(
+        entry["sa_v"], entry.get("sa_v_tail"), v_new, start,
+        scale=entry.get("sa_v_scale"),
+    )
     if prefill:
         att = causal_attention(q, k_new, v_new, impl=cfg.attn_impl)
     else:
-        att = _attn_cached(q, kc, vc, start, t)  # (M, B, H, t, hs)
+        att = _attn_cached(q, kc, vc, start, t, ksc, vsc)  # (M, B, H, t, hs)
     out = att.transpose(0, 1, 3, 2, 4).reshape(M, B, t, H * hs)
     out = _proj_mlp(out, sa["proj_w1"], sa["proj_b1"], sa["proj_w2"], sa["proj_b2"])
     new_entry = {"sa_k": kc, "sa_v": vc}
     if ktl is not None:
         new_entry["sa_k_tail"] = ktl
         new_entry["sa_v_tail"] = vtl
+    if ksc is not None:
+        new_entry["sa_k_scale"] = ksc
+        new_entry["sa_v_scale"] = vsc
     return out, new_entry
 
 
@@ -315,18 +391,29 @@ def _cross_cached(y, kv_x_new, cp, cfg: ModelConfig, entry, start,
     q = _mm("btc,hce->bhte", y, cp["q_w"])  # (B, H, t, hs)
     k_new = _mm("jbtc,jhcf->jbhtf", kv_x_new, cp["kv_w"][..., :hs])
     v_new = _mm("jbtc,jhcf->jbhtf", kv_x_new, cp["kv_w"][..., hs:])
-    kc, ktl = _cache_append(entry["k"], entry.get("k_tail"), k_new, start)
-    vc, vtl = _cache_append(entry["v"], entry.get("v_tail"), v_new, start)
+    kc, ktl, ksc = _cache_append(
+        entry["k"], entry.get("k_tail"), k_new, start,
+        scale=entry.get("k_scale"),
+    )
+    vc, vtl, vsc = _cache_append(
+        entry["v"], entry.get("v_tail"), v_new, start,
+        scale=entry.get("v_scale"),
+    )
     if prefill:  # empty cache: pure causal over new tokens (flash-eligible)
         att = cross_causal_attention(q, k_new, v_new, impl=cfg.attn_impl)
     else:
-        att = _attn_cached(q[None], kc, vc, start, t).sum(axis=0)  # (B, H, t, hs)
+        att = _attn_cached(
+            q[None], kc, vc, start, t, ksc, vsc
+        ).sum(axis=0)  # (B, H, t, hs)
     out = att.transpose(0, 2, 1, 3).reshape(B, t, -1)
     out = _proj_mlp(out, cp["proj_w1"], cp["proj_b1"], cp["proj_w2"], cp["proj_b2"])
     new_entry = {"k": kc, "v": vc}
     if ktl is not None:
         new_entry["k_tail"] = ktl
         new_entry["v_tail"] = vtl
+    if ksc is not None:
+        new_entry["k_scale"] = ksc
+        new_entry["v_scale"] = vsc
     return out, new_entry
 
 
@@ -420,10 +507,13 @@ def forward_cached(
     return logits, new_caches
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "modality_to_generate"))
-def _prefill(params, cfg: ModelConfig, idx, modality_to_generate: int):
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "modality_to_generate", "kv_dtype")
+)
+def _prefill(params, cfg: ModelConfig, idx, modality_to_generate: int,
+             kv_dtype: str = None):
     """Populate the cache from the prompt; return last-position logits."""
-    cache = init_cache(cfg, idx.shape[1], params)
+    cache = init_cache(cfg, idx.shape[1], params, kv_dtype=kv_dtype)
     logits, cache = forward_cached(
         params, cfg, idx, cache, 0, head_modality=modality_to_generate,
         prefill=True,
@@ -517,10 +607,16 @@ def generate_serve(
     max_new_tokens: int,
     modality_to_generate: int = 0,
     refresh: Optional[int] = None,
+    kv_dtype: Optional[str] = None,
 ) -> jax.Array:
     """Serving-mode generation: cached decode everywhere, chunked refresh
     once the window is full (NOT bit-faithful past that point — see module
     docstring). ``refresh`` defaults to block_size // 8 (min 1).
+
+    ``kv_dtype='int8'`` additionally quantizes the K/V cache (one f32 scale
+    per packed row) — decode cache traffic halves, roughly doubling the
+    HBM-bound throughput ceiling, at a ~0.4%-per-element score perturbation
+    on top of serving mode's chunked-refresh approximation.
     """
     seq = jnp.asarray(idx)
     if seq.ndim != 3:
@@ -535,7 +631,9 @@ def generate_serve(
     n_exact = max(0, min(max_new_tokens, S - t0))
     produced = 0
     if n_exact > 0:
-        logits0, cache = _prefill(params, cfg, seq, modality_to_generate)
+        logits0, cache = _prefill(
+            params, cfg, seq, modality_to_generate, kv_dtype=kv_dtype
+        )
         cols, _, _, key = _decode_steps(
             params, cfg, cache, t0, logits0, seq[:, :, -1], key,
             modality_to_generate, n_exact,
@@ -547,7 +645,9 @@ def generate_serve(
     while produced < max_new_tokens:
         n = min(refresh, max_new_tokens - produced)
         window = seq[:, :, -(S - refresh):]
-        logits0, cache = _prefill(params, cfg, window, modality_to_generate)
+        logits0, cache = _prefill(
+            params, cfg, window, modality_to_generate, kv_dtype=kv_dtype
+        )
         cols, _, _, key = _decode_steps(
             params, cfg, cache, S - refresh, logits0, seq[:, :, -1], key,
             modality_to_generate, n,

@@ -2563,6 +2563,114 @@ def decode_attention_packed(
     return out.reshape(*lead, 1, hs)
 
 
+# ------------------------------------------- decode, PACKED int8 KV cache
+#
+# Serving-only quantized cache (models/cache.py kv_dtype='int8'): K/V store
+# as int8 with one f32 scale per PACKED ROW (pack positions share a scale —
+# the row is rebuilt whole at append time, so both positions quantize
+# together). Decode traffic halves, which doubles the HBM-bound serving
+# ceiling; the kernel dequantizes in VMEM (upcast + per-row scale) and then
+# runs the exact packed-decode math. Opt-in: quantization perturbs scores
+# ~0.4% per element, so the exact paths never use it.
+
+
+def _decode_p8_kernel(
+    q_ref, kp_ref, vp_ref, ks_ref, vs_ref, pos_ref, o_ref,
+    *, g: int, pack: int, scale: float,
+):
+    q = q_ref[...]                         # (g, 1, hs) bf16/f32
+    inv = 1.0 / 127.0
+    ks = ks_ref[...].astype(jnp.float32)   # (g, Sp, 1)
+    kp = (
+        kp_ref[...].astype(jnp.float32) * (ks * inv)
+    ).astype(q.dtype)                      # (g, Sp, pack*hs) dequantized
+    hs = q.shape[-1]
+    sp = kp.shape[1]
+    parts = []
+    for j in range(pack):
+        kj = jax.lax.slice_in_dim(kp, j * hs, (j + 1) * hs, axis=2)
+        s = jax.lax.dot_general(
+            q, kj, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.float32) * scale
+        cols = jax.lax.broadcasted_iota(jnp.int32, (g, 1, sp), 2) * pack + j
+        parts.append(jnp.where(cols <= pos_ref[0], s, _NEG_INF))
+    m = parts[0]
+    for s in parts[1:]:
+        m = jnp.maximum(m, s)
+    m = jnp.max(m, axis=-1, keepdims=True)
+    l = jnp.zeros_like(m)
+    vs = vs_ref[...].astype(jnp.float32)
+    vp = (vp_ref[...].astype(jnp.float32) * (vs * inv)).astype(q.dtype)
+    out = None
+    for j, s in enumerate(parts):
+        p = jnp.exp(s - m)
+        l = l + jnp.sum(p, axis=-1, keepdims=True)
+        vj = jax.lax.slice_in_dim(vp, j * hs, (j + 1) * hs, axis=2)
+        o = jax.lax.dot_general(
+            p.astype(vj.dtype), vj,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        out = o if out is None else out + o
+    o_ref[...] = (out / l).astype(o_ref.dtype)
+
+
+def decode_attention_packed_q8(
+    q: jax.Array, kp: jax.Array, vp: jax.Array, k_scale, v_scale, pos,
+    interpret: bool = False,
+) -> jax.Array:
+    """Packed decode attention over an int8 cache with per-packed-row f32
+    scales. q (..., 1, hs); kp/vp (..., S/pack, pack*hs) int8;
+    k_scale/v_scale (..., S/pack). Same contract as
+    ``decode_attention_packed`` after dequantization."""
+    lead = q.shape[:-2]
+    hs = q.shape[-1]
+    pack = kp.shape[-1] // hs
+    sp = kp.shape[-2]
+    n = 1
+    for d in lead:
+        n *= d
+    q3 = q.reshape(n, 1, hs)
+    k3 = kp.reshape(n, sp, pack * hs)
+    v3 = vp.reshape(n, sp, pack * hs)
+    ks3 = k_scale.reshape(n, sp, 1)
+    vs3 = v_scale.reshape(n, sp, 1)
+    budget = 8 * 1024 * 1024
+    # int8 K/V double-buffered + the bf16 dequantized copies + f32 softmax
+    per_row = (2 * 2 + 2 * 2) * sp * pack * hs + 24 * sp * pack
+    g = 1
+    for cand in (64, 32, 16, 8, 4, 2, 1):
+        if n % cand == 0 and cand * per_row <= budget:
+            g = cand
+            break
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    kernel = functools.partial(
+        _decode_p8_kernel, g=g, pack=pack, scale=hs ** -0.5
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, 1, hs), q.dtype),
+        grid=(n // g,),
+        in_specs=[
+            pl.BlockSpec((g, 1, hs), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, sp, pack * hs), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, sp, pack * hs), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, sp, 1), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, sp, 1), lambda i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((g, 1, hs), lambda i: (i, 0, 0)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n * sp * pack * hs,
+            bytes_accessed=2 * n * sp * pack * hs,
+            transcendentals=n * sp * pack,
+        ),
+    )(q3, k3, v3, ks3, vs3, pos_arr)
+    return out.reshape(*lead, 1, hs)
+
+
 # ----------------------------------------------------------------- entry points
 
 
