@@ -438,3 +438,69 @@ class TestTrainStateMemory:
         assert t_fs == t_rep            # same logical state
         # most leaves divide by 8; a few tiny/odd ones replicate
         assert d_fs < t_fs * 0.30, (d_fs, t_fs)
+
+
+class TestProductionTPCoverage:
+    """VERDICT r3 stretch item: at the PRODUCTION shape (V=(500,120,24,48),
+    C=384, H=6, 6 layers) with 2-way tensor parallelism, pin exactly which
+    leaves shard over 'model' and how much parameter memory stays
+    replicated — so the TP claim carries numbers, not just pspecs."""
+
+    def test_sharded_fraction_and_placements(self):
+        cfg = ModelConfig(
+            vocab_sizes=(500, 120, 24, 48),
+            cross_attention=(True, True, False, False),
+            n_embd=384, n_head=6, n_layer=6, block_size=64, dropout=0.0,
+            attn_impl="jnp",
+        )
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        specs = param_pspecs(params, cfg.n_head, model_axis=True, model_size=2)
+
+        flat_p = jax.tree_util.tree_leaves_with_path(params)
+        flat_s = jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, P))
+        assert len(flat_p) == len(flat_s)
+
+        sharded_bytes = 0
+        repl_bytes = 0
+        repl_names = set()
+        for (path, leaf), spec in zip(flat_p, flat_s):
+            name = jax.tree_util.keystr(path)
+            nbytes = leaf.size * leaf.dtype.itemsize
+            if "model" in spec:
+                # every model-sharded dim must divide the axis size
+                for dim, ax in zip(leaf.shape, list(spec) + [None] * leaf.ndim):
+                    if ax == "model":
+                        assert dim % 2 == 0, (name, leaf.shape, spec)
+                sharded_bytes += nbytes
+            else:
+                repl_bytes += nbytes
+                repl_names.add(name.split("[")[-1].strip("]'\""))
+
+        total = sharded_bytes + repl_bytes
+        # At production vocab sizes every matrix family shards: the
+        # replicated remainder is biases/norms/proj_w2/pos_emb only.
+        frac = sharded_bytes / total
+        assert frac > 0.90, (
+            f"only {frac:.1%} of parameter bytes shard over 'model'; "
+            f"replicated leaves: {sorted(repl_names)}"
+        )
+
+        # spot-pin the big families at this shape
+        blk = specs["blocks"][0]
+        assert blk["ffwd"]["w1"] == P(None, None, "model")
+        assert blk["ffwd"]["w2"] == P(None, "model", None)
+        assert blk["sa"]["w1_q"] == P(None, None, "model")
+        assert blk["sa"]["w2_q"] == P(None, "model", None, None)
+        assert blk["sa"]["proj_w1"] == P(None, "model", None)
+        assert blk["cross"]["0"]["q_w"] == P("model", None, None)
+        assert blk["cross"]["0"]["kv_w"] == P(None, "model", None, None)
+        # vocab heads and embeddings shard at production vocab sizes
+        assert specs["post"]["heads"][0]["w1"] == P(None, "model")
+        assert specs["post"]["heads"][0]["w2"] == P("model", None)
+        assert specs["pre"]["tok_emb"][0] == P("model", None)
+        # the replicated remainder is small and named
+        expected_repl = {
+            "pos_emb", "b2", "proj_b1", "proj_b2", "proj_w2",
+            "scale", "bias", "ln_scale", "ln_bias",
+        }
+        assert repl_names <= expected_repl, repl_names - expected_repl
