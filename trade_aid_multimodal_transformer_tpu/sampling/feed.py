@@ -85,12 +85,23 @@ class BatchFeed:
         is_percents: bool,
         rand_sizes: Sequence[Optional[int]],
         vocab_sizes: Sequence[int],
+        augment_shared: bool = False,
     ):
         self.num_modalities = len(train_sets)
         self.block_size = block_size
         self.batch_size = batch_size
         self.rand_sizes = list(rand_sizes)
         self.vocab_sizes = list(vocab_sizes)
+        # Reference as-shipped augmentation SCOPE (training_utils.py:353-360):
+        # the whole train array is perturbed once per step and every window
+        # in the batch slices from that single noise realization — windows
+        # overlapping the same positions share their noise. The default
+        # (False) draws independent noise per sampled window: per-token the
+        # distribution is identical, but batch windows decorrelate, which
+        # measurably speeds small-corpus fitting (PARITY_TPU.md). True
+        # reproduces the reference's shared-noise scope (set by the runner
+        # alongside compat_legacy_rand_index).
+        self.augment_shared = bool(augment_shared)
 
         # Stack over the modality axis: equal lengths are an invariant.
         self.train_data = jnp.asarray(np.stack(train_sets).astype(np.int32))
@@ -120,10 +131,18 @@ class BatchFeed:
             key_ix, batch_size if batch_size is not None else self.batch_size
         )
 
+        if augment and self.augment_shared:
+            # reference scope: one noise realization over the whole train
+            # array per step, shared by every window (augment_windows
+            # broadcasts over (M, N) just as over (M, B, T+1))
+            data = augment_windows(
+                key_aug, data, self.rand_sizes, self.vocab_sizes
+            )
+
         # (M, B, T+1) — same starts for every modality.
         windows = jax.vmap(lambda d: gather_windows(d, starts, self.block_size))(data)
 
-        if augment:
+        if augment and not self.augment_shared:
             windows = augment_windows(
                 key_aug, windows, self.rand_sizes, self.vocab_sizes
             )

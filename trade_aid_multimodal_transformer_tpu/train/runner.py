@@ -379,6 +379,10 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
     feed = BatchFeed(
         all_train_sets, all_val_sets, file_lengths, block_size, batch_size,
         is_percents, rand_sizes, all_vocab_sizes,
+        # as-shipped reference behavior bundles the augmentation SOURCE
+        # quirk (slot [2]) with its shared-noise SCOPE (whole train array
+        # perturbed once per step) — both behind the same compat flag
+        augment_shared=bool(sc.get("compat_legacy_rand_index", False)),
     )
     metric_specs = build_metric_specs(
         all_vocabularies, [md.is_percent for md in modalities], block_size
