@@ -2578,37 +2578,41 @@ def _decode_p8_kernel(
     q_ref, kp_ref, vp_ref, ks_ref, vs_ref, pos_ref, o_ref,
     *, g: int, pack: int, scale: float,
 ):
-    q = q_ref[...]                         # (g, 1, hs) bf16/f32
+    q = q_ref[...]                         # (g, 1, hs)
     inv = 1.0 / 127.0
-    ks = ks_ref[...].astype(jnp.float32)   # (g, Sp, 1)
-    kp = (
-        kp_ref[...].astype(jnp.float32) * (ks * inv)
-    ).astype(q.dtype)                      # (g, Sp, pack*hs) dequantized
+    # scales stay LANE-MAJOR (g, 1, Sp) — one padded-to-128 lane row per
+    # batch row — and fold into the scores / probabilities elementwise
+    # (same shape), so the int8 K/V only ever upcast, never re-scale per
+    # row. An earlier (g, Sp, 1) layout tile-padded the minor dim 128x and
+    # its host-side reshape materialized 25 MB per call (4.3 ms/step).
+    ks = ks_ref[...].astype(jnp.float32) * inv   # (g, 1, Sp)
+    vs = vs_ref[...].astype(jnp.float32) * inv   # (g, 1, Sp)
+    kp = kp_ref[...].astype(q.dtype)             # int8 -> compute dtype
     hs = q.shape[-1]
     sp = kp.shape[1]
     parts = []
     for j in range(pack):
         kj = jax.lax.slice_in_dim(kp, j * hs, (j + 1) * hs, axis=2)
-        s = jax.lax.dot_general(
+        sj = jax.lax.dot_general(
             q, kj, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).astype(jnp.float32) * scale
+        sj = sj * ks                                # per-packed-row dequant
         cols = jax.lax.broadcasted_iota(jnp.int32, (g, 1, sp), 2) * pack + j
-        parts.append(jnp.where(cols <= pos_ref[0], s, _NEG_INF))
+        parts.append(jnp.where(cols <= pos_ref[0], sj, _NEG_INF))
     m = parts[0]
-    for s in parts[1:]:
-        m = jnp.maximum(m, s)
+    for sj in parts[1:]:
+        m = jnp.maximum(m, sj)
     m = jnp.max(m, axis=-1, keepdims=True)
     l = jnp.zeros_like(m)
-    vs = vs_ref[...].astype(jnp.float32)
-    vp = (vp_ref[...].astype(jnp.float32) * (vs * inv)).astype(q.dtype)
+    vp = vp_ref[...].astype(q.dtype)
     out = None
-    for j, s in enumerate(parts):
-        p = jnp.exp(s - m)
+    for j, sj in enumerate(parts):
+        p = jnp.exp(sj - m)
         l = l + jnp.sum(p, axis=-1, keepdims=True)
         vj = jax.lax.slice_in_dim(vp, j * hs, (j + 1) * hs, axis=2)
         o = jax.lax.dot_general(
-            p.astype(vj.dtype), vj,
+            (p * vs).astype(vj.dtype), vj,          # fold V scale into P
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
@@ -2634,10 +2638,10 @@ def decode_attention_packed_q8(
     q3 = q.reshape(n, 1, hs)
     k3 = kp.reshape(n, sp, pack * hs)
     v3 = vp.reshape(n, sp, pack * hs)
-    ks3 = k_scale.reshape(n, sp, 1)
-    vs3 = v_scale.reshape(n, sp, 1)
+    ks3 = k_scale.reshape(n, 1, sp)   # lane-major: Sp on the lanes
+    vs3 = v_scale.reshape(n, 1, sp)
     budget = 8 * 1024 * 1024
-    # int8 K/V double-buffered + the bf16 dequantized copies + f32 softmax
+    # int8 K/V double-buffered + their upcast copies + f32 softmax rows
     per_row = (2 * 2 + 2 * 2) * sp * pack * hs + 24 * sp * pack
     g = 1
     for cand in (64, 32, 16, 8, 4, 2, 1):
@@ -2656,8 +2660,8 @@ def decode_attention_packed_q8(
             pl.BlockSpec((g, 1, hs), lambda i: (i, 0, 0)),
             pl.BlockSpec((g, sp, pack * hs), lambda i: (i, 0, 0)),
             pl.BlockSpec((g, sp, pack * hs), lambda i: (i, 0, 0)),
-            pl.BlockSpec((g, sp, 1), lambda i: (i, 0, 0)),
-            pl.BlockSpec((g, sp, 1), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, 1, sp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, 1, sp), lambda i: (i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((g, 1, hs), lambda i: (i, 0, 0)),
