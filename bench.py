@@ -408,7 +408,10 @@ def bench_runner():
 
     base = (REPO / "examples" / "demo_config.yaml").read_text()
     base = base.replace("max_iters: 50", "max_iters: 2001")
-    base = base.replace("eval_interval: 25", "eval_interval: 2000\n  eval_iters: 4")
+    # four same-shape 500-step chunks: the first pays the compile, the
+    # steady rate comes from the cached repeats (the runner fuses a whole
+    # eval interval per chunk, so eval_interval IS the chunk length)
+    base = base.replace("eval_interval: 25", "eval_interval: 500\n  eval_iters: 4")
 
     tmp = tempfile.mkdtemp(prefix="bench_runner_")
     prev_cwd = os.getcwd()

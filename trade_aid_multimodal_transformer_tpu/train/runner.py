@@ -612,11 +612,24 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
     profile_dir = profile_dir_from_env()
     chunks_run = 0
 
+    def print_progress(lo: int, hi: int):
+        """The reference prints 'Training: Iteration k/N' at every multiple
+        of 100 (reference: main.py:601). Fused chunks span whole
+        eval-intervals, so the lines for (lo, hi] print in one burst after
+        the chunk — the console SEQUENCE is identical (they still precede
+        the next eval's lines), and the chunk no longer breaks every 100
+        steps (~25 ms host dispatch each on the tunneled TPU; measured
+        runner rate 3.3k -> 6k+ steps/s at demo scale)."""
+        k = (lo // 100 + 1) * 100
+        while k <= hi and k < max_iters:
+            print(f"Training: Iteration {k}/{max_iters}")
+            k += 100
+
     it = 0
     stopped = False
     while it < max_iters and not stopped:
-        if it % 100 == 0:
-            print(f"Training: Iteration {it}/{max_iters}")
+        if it == 0:
+            print(f"Training: Iteration 0/{max_iters}")
         if it % eval_interval == 0 or it == max_iters - 1:
             stopped = handle_eval(it)
             if stopped:
@@ -626,7 +639,6 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
 
         # run fused steps up to the next host-visible boundary
         next_boundaries = [max_iters]
-        next_boundaries.append(((it // 100) + 1) * 100)
         next_boundaries.append(((it // eval_interval) + 1) * eval_interval)
         if it < max_iters - 1:
             next_boundaries.append(max_iters - 1)
@@ -648,6 +660,7 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
         jax.block_until_ready(step_losses)
         timer.stop(n_steps)
         chunks_run += 1
+        print_progress(it, nxt)
         it = nxt
 
     print("\nTRAINING COMPLETED SUCCESSFULLY")
