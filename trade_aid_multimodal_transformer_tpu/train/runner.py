@@ -619,7 +619,7 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
         the chunk — the console SEQUENCE is identical (they still precede
         the next eval's lines), and the chunk no longer breaks every 100
         steps (~25 ms host dispatch each on the tunneled TPU; measured
-        runner rate 3.3k -> 6k+ steps/s at demo scale)."""
+        runner rate 3.3k -> 8.6k steps/s at demo scale)."""
         k = (lo // 100 + 1) * 100
         while k <= hi and k < max_iters:
             print(f"Training: Iteration {k}/{max_iters}")
