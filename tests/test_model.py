@@ -273,3 +273,51 @@ class TestCachedGenerate:
         )
         v = big_cfg.vocab_sizes[0]
         assert (np.asarray(out[0]) >= 0).all() and (np.asarray(out[0]) < v).all()
+
+
+class TestServeChunkFusion:
+    """generate_serve's fused steady-chunk path (_serve_chunks: one device
+    program for all full refresh chunks) must produce the TOKEN-IDENTICAL
+    stream of the per-chunk dispatch path — same sampling key schedule,
+    same windows."""
+
+    def _setup(self):
+        cfg = ModelConfig(
+            vocab_sizes=(13, 5), cross_attention=(True, False), n_embd=16,
+            n_head=2, n_layer=1, block_size=16, dropout=0.0, attn_impl="jnp",
+        )
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        prompt = jnp.asarray(np.stack(
+            [rng.integers(0, v, (2, 16)) for v in cfg.vocab_sizes]
+        ).astype(np.int32))
+        return cfg, params, prompt
+
+    def test_fused_matches_per_chunk(self):
+        from trade_aid_multimodal_transformer_tpu.models.cache import generate_serve
+
+        cfg, params, prompt = self._setup()
+        # 3 full chunks + a 2-token tail
+        a = generate_serve(params, cfg, prompt, jax.random.PRNGKey(7), 14,
+                           refresh=4, fuse_chunks=True)
+        b = generate_serve(params, cfg, prompt, jax.random.PRNGKey(7), 14,
+                           refresh=4, fuse_chunks=False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_fused_matches_per_chunk_int8(self):
+        from trade_aid_multimodal_transformer_tpu.models.cache import generate_serve
+
+        cfg = ModelConfig(
+            vocab_sizes=(13, 5), cross_attention=(True, False), n_embd=16,
+            n_head=2, n_layer=1, block_size=128, dropout=0.0, attn_impl="jnp",
+        )
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        prompt = jnp.asarray(np.stack(
+            [rng.integers(0, v, (2, 128)) for v in cfg.vocab_sizes]
+        ).astype(np.int32))
+        a = generate_serve(params, cfg, prompt, jax.random.PRNGKey(7), 8,
+                           refresh=4, kv_dtype="int8", fuse_chunks=True)
+        b = generate_serve(params, cfg, prompt, jax.random.PRNGKey(7), 8,
+                           refresh=4, kv_dtype="int8", fuse_chunks=False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
