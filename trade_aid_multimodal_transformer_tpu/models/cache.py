@@ -305,8 +305,11 @@ def _attn_cached(q, kc, vc, start, t_new: int, k_scale=None, v_scale=None):
 
         qb = jnp.broadcast_to(q, kc.shape[:-2] + q.shape[-2:])
         if _on_tpu():
+            # eligibility is shape-only; a ShapeDtypeStruct stands in for
+            # the int8 cache so no (traced) array is built just to read
+            # its shape
             if q8 and decode_attention_packed_eligible(
-                qb, jnp.zeros(kc.shape, q.dtype)
+                qb, jax.ShapeDtypeStruct(kc.shape, q.dtype)
             ):
                 return decode_attention_packed_q8(
                     qb, kc, vc, k_scale, v_scale, start
