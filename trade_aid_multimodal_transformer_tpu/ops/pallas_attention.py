@@ -2640,7 +2640,10 @@ def decode_attention_packed_q8(
     v3 = vp.reshape(n, sp, pack * hs)
     ks3 = k_scale.reshape(n, 1, sp)   # lane-major: Sp on the lanes
     vs3 = v_scale.reshape(n, 1, sp)
-    budget = 8 * 1024 * 1024
+    # int8 blocks are small (64 KB per K/V row at Sp=512); a larger budget
+    # doubles g (fewer grid programs, better DMA overlap) and still sits
+    # well under the 16 MB scoped-VMEM limit after the bf16 dequant copies
+    budget = 11 * 1024 * 1024
     # int8 K/V double-buffered + their upcast copies + f32 softmax rows
     per_row = (2 * 2 + 2 * 2) * sp * pack * hs + 24 * sp * pack
     g = 1
