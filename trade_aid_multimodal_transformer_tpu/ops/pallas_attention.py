@@ -2531,7 +2531,11 @@ def decode_attention_packed(
     q3 = q.reshape(n, 1, hs)
     k3 = kp.reshape(n, sp, pack * hs)
     v3 = vp.reshape(n, sp, pack * hs)
-    budget = 8 * 1024 * 1024
+    # larger budget -> larger g (fewer grid programs, better DMA overlap).
+    # At S=1024/bf16 the per-row estimate (~1.07 MB) keeps g=8 either way
+    # (measured flat); the headroom pays at smaller contexts, and the int8
+    # twin of this kernel measured +3% from its doubled g.
+    budget = 11 * 1024 * 1024
     per_row = 2 * 2 * sp * pack * hs * k3.dtype.itemsize + 16 * sp * pack
     g = 1
     for cand in (64, 32, 16, 8, 4, 2, 1):
