@@ -1223,11 +1223,16 @@ def _short_bwd_kernel(
     dv_ref[...] = dv.astype(dv_ref.dtype)
 
 
-def _short_pick_g(n: int, t: int, hs: int) -> int:
+def _short_pick_g(n: int, t: int, hs: int, itemsize: int = 2) -> int:
     """Largest divisor of n keeping the program's VMEM estimate bounded:
-    ~8 (t, hs) blocks + ~4 (t, t) f32 intermediates per batch row."""
+    ~8 (t, hs) blocks + ~4 (t, t) intermediates per batch row, scaled by
+    the operand itemsize (x2 headroom). Calibrated on the bf16 production
+    path (itemsize 2 reproduces the long-validated sizing); f32 operands
+    halve g — Mosaic's scoped-VMEM accounting for the backward measured
+    ~2x the bf16 footprint (a 17.1 MB stack at the bf16-tuned g exceeded
+    the 16 MB limit)."""
     budget = 8 * 1024 * 1024
-    per_row = (8 * t * hs + 4 * t * t) * 4
+    per_row = (8 * t * hs + 4 * t * t) * itemsize * 2
     for g in (64, 32, 16, 8, 4, 2, 1):
         if n % g == 0 and g * per_row <= budget:
             return g
@@ -1335,7 +1340,7 @@ def short_causal_attention(
     n = 1
     for d in lead:
         n *= d
-    g = _short_pick_g(n, t, hs)
+    g = _short_pick_g(n, t, hs, q.dtype.itemsize)
     rate = float(dropout_rate)
     if rate > 0.0:
         if dropout_key is None:
@@ -1488,10 +1493,13 @@ def _short_cross_bwd_kernel(
     dq_ref[...] = dq_acc.astype(dq_ref.dtype)
 
 
-def _short_cross_pick_g(n: int, jdim: int, t: int, hs: int) -> int:
-    """Like _short_pick_g with J resident KV streams per program."""
+def _short_cross_pick_g(n: int, jdim: int, t: int, hs: int,
+                        itemsize: int = 2) -> int:
+    """Like _short_pick_g with J resident KV streams per program (same
+    itemsize scaling — the f32 cross backward at the bf16-tuned g was the
+    observed scoped-VMEM overflow)."""
     budget = 8 * 1024 * 1024
-    per_row = ((4 + 4 * jdim) * t * hs + 5 * t * t) * 4
+    per_row = ((4 + 4 * jdim) * t * hs + 5 * t * t) * itemsize * 2
     for g in (64, 32, 16, 8, 4, 2, 1):
         if n % g == 0 and g * per_row <= budget:
             return g
@@ -1786,12 +1794,16 @@ def _fqkv_bwd_kernel(
         dw2_ref[0] = dw2_ref[0] + dw2
 
 
-def _fqkv_pick_gb(nb: int, H: int, t: int, hs: int, c: int) -> int:
+def _fqkv_pick_gb(nb: int, H: int, t: int, hs: int, c: int,
+                  itemsize: int = 2) -> int:
     """Largest divisor of B within a VMEM estimate: attention intermediates
-    (like the packed kernel) plus the projection activations."""
+    (like the packed kernel) plus the projection activations. Calibrated
+    on the bf16 production path (itemsize 2 reproduces that sizing); f32
+    operands double the estimate and halve gb (the observed f32 backward
+    scoped-VMEM footprint is ~2x bf16's)."""
     budget = 7 * 1024 * 1024
-    att_row = (10 * t * hs + 5 * t * t) * 4 * H
-    proj_row = t * (c + 3 * H * (hs // 2) * 3) * 4
+    att_row = (10 * t * hs + 5 * t * t) * 2 * itemsize * H
+    proj_row = t * (c + 3 * H * (hs // 2) * 3) * 2 * itemsize
     for gb in (32, 16, 8, 4, 2, 1):
         if nb % gb == 0 and gb * (att_row + proj_row) <= budget:
             return gb
@@ -1924,7 +1936,7 @@ def fused_qkv_attention(
     gradients accumulate f32 in-kernel across the batch grid."""
     M, B, t, c = x.shape
     hs = w2.shape[-1]
-    gb = _fqkv_pick_gb(B, n_head, t, hs, c)
+    gb = _fqkv_pick_gb(B, n_head, t, hs, c, x.dtype.itemsize)
     rate = float(dropout_rate)
     if rate > 0.0:
         if dropout_key is None:
@@ -2031,11 +2043,12 @@ def _short_packed_bwd_kernel(
     dqkv_ref[:, 2 * H:] = dv.astype(dt).reshape(gb, H, t, hs)
 
 
-def _short_packed_pick_gb(nb: int, H: int, t: int, hs: int) -> int:
+def _short_packed_pick_gb(nb: int, H: int, t: int, hs: int,
+                          itemsize: int = 2) -> int:
     """Largest divisor of nb (the collapsed M·B axis) within the VMEM budget
-    (same accounting as _short_pick_g with g = gb·H)."""
+    (same accounting as _short_pick_g with g = gb·H, itemsize-scaled)."""
     budget = 8 * 1024 * 1024
-    per_row = (8 * t * hs + 4 * t * t) * 4 * H
+    per_row = (8 * t * hs + 4 * t * t) * 2 * itemsize * H
     for gb in (64, 32, 16, 8, 4, 2, 1):
         if nb % gb == 0 and gb * per_row <= budget:
             return gb
@@ -2135,7 +2148,7 @@ def short_causal_attention_packed(
     nb = 1
     for d in lead:
         nb *= d
-    gb = _short_packed_pick_gb(nb, H, t, hs)
+    gb = _short_packed_pick_gb(nb, H, t, hs, qkv.dtype.itemsize)
     rate = float(dropout_rate)
     if rate > 0.0:
         if dropout_key is None:
@@ -2193,7 +2206,7 @@ def short_cross_attention(
     for d in lead:
         n *= d
     jdim = k.shape[0]
-    g = _short_cross_pick_g(n, jdim, t, hs)
+    g = _short_cross_pick_g(n, jdim, t, hs, q.dtype.itemsize)
     q3 = q.reshape(n, t, hs)
     k4 = k.reshape(jdim, n, t, hs)
     v4 = v.reshape(jdim, n, t, hs)
@@ -2246,7 +2259,7 @@ def short_cross_attention_t(
     for d in lead:
         n *= d
     jdim = kT.shape[0]
-    g = _short_cross_pick_g(n, jdim, t, hs)
+    g = _short_cross_pick_g(n, jdim, t, hs, q.dtype.itemsize)
     q3 = q.reshape(n, t, hs)
     k4 = kT.reshape(jdim, n, hs, t)
     v4 = vT.reshape(jdim, n, hs, t)
