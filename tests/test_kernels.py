@@ -1341,3 +1341,38 @@ class TestDecodeInt8:
         assert out.shape == (2, 2, 136)
         gen = np.asarray(out[0, :, 128:])
         assert gen.min() >= 0 and gen.max() < 13
+
+
+class TestKernelVmemSizing:
+    """The short/fused kernel g estimators are calibrated on the bf16
+    production path; f32 operands must pick a smaller g (a 17.1 MB scoped-
+    VMEM stack at the bf16-tuned g exceeded the 16 MB limit — the f32
+    short-cross backward found by bench/suite.py's f32 rows)."""
+
+    def test_bf16_sizing_unchanged_and_f32_halved(self):
+        from trade_aid_multimodal_transformer_tpu.ops.pallas_attention import (
+            _fqkv_pick_gb,
+            _short_cross_pick_g,
+            _short_packed_pick_gb,
+            _short_pick_g,
+        )
+
+        # production shapes: n = M*B*H = 768 (self), J = 3 (cross)
+        assert _short_pick_g(768, 64, 64, 2) == 32   # long-validated bf16 g
+        assert _short_pick_g(768, 64, 64, 4) == 16   # f32 halves
+        assert _short_cross_pick_g(192, 3, 64, 64, 2) == 16
+        assert _short_cross_pick_g(192, 3, 64, 64, 4) == 8
+        assert _short_packed_pick_gb(128, 6, 64, 64, 2) == \
+            2 * _short_packed_pick_gb(128, 6, 64, 64, 4)
+        gb_bf16 = _fqkv_pick_gb(32, 6, 64, 64, 384, 2)
+        gb_f32 = _fqkv_pick_gb(32, 6, 64, 64, 384, 4)
+        assert gb_bf16 >= 2 * gb_f32 or gb_f32 == 1
+
+        # every estimator stays a positive divisor of n
+        for g_fn, args in (
+            (_short_pick_g, (768, 512, 64)),
+            (_short_cross_pick_g, (48, 3, 512, 64)),
+        ):
+            for item in (2, 4):
+                g = g_fn(*args, item)
+                assert g >= 1 and args[0] % g == 0
