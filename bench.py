@@ -406,17 +406,22 @@ def bench_runner():
     )
     from trade_aid_multimodal_transformer_tpu.train.runner import run_training
 
-    base = (REPO / "examples" / "demo_config.yaml").read_text()
-    base = base.replace("max_iters: 50", "max_iters: 2001")
+    import yaml
+
+    cfg = yaml.safe_load((REPO / "examples" / "demo_config.yaml").read_text())
     # four same-shape 500-step chunks: the first pays the compile, the
     # steady rate comes from the cached repeats (the runner fuses a whole
-    # eval interval per chunk, so eval_interval IS the chunk length)
-    base = base.replace("eval_interval: 25", "eval_interval: 500\n  eval_iters: 4")
+    # eval interval per chunk, so eval_interval IS the chunk length).
+    # Set programmatically — string replacement silently no-ops when the
+    # demo config's values drift (advisor r4).
+    cfg["training_parameters"]["max_iters"] = 2001
+    cfg["training_parameters"]["eval_interval"] = 500
+    cfg["training_parameters"]["eval_iters"] = 4
 
     tmp = tempfile.mkdtemp(prefix="bench_runner_")
     prev_cwd = os.getcwd()
     try:
-        (Path(tmp) / "config.yaml").write_text(base)
+        (Path(tmp) / "config.yaml").write_text(yaml.safe_dump(cfg))
         shutil.copy(REPO / "examples" / "demo_input_schemas.yaml",
                     Path(tmp) / "input_schemas.yaml")
         os.makedirs(Path(tmp) / "examples" / "demo_data")

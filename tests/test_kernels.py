@@ -421,6 +421,82 @@ class TestStreamedKernels:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
+class TestFusedBackward:
+    """The fused dQ+dK+dV kernel (one P = exp(S−L) recompute per block pair,
+    dQ accumulated in a VMEM-revisited f32 row output) must match the split
+    dQ / dK+dV kernels exactly — including the dropout bitstream, whose
+    (seed, n, iq, jk) keying is shared by all backward layouts."""
+
+    @pytest.mark.parametrize("causal", [True, False])
+    @pytest.mark.parametrize("bq,bk", [(128, 128), (256, 128), (128, 256)])
+    def test_matches_split_kernels(self, causal, bq, bk):
+        from trade_aid_multimodal_transformer_tpu.ops import pallas_attention as pa
+
+        q, k, v = qkv(2, 512, 16, seed=71)
+        seed = jnp.zeros((1,), jnp.int32)
+        out, lse = pa._flash_forward(q, k, v, seed, bq, bk, 0.0, True, causal=causal)
+        g = jax.random.normal(jax.random.PRNGKey(7), out.shape, out.dtype)
+        d_f = pa._flash_backward_fused(
+            q, k, v, out, lse, g, seed, bq, bk, 0.0, True, causal=causal
+        )
+        d_s = pa._flash_backward(
+            q, k, v, out, lse, g, seed, bq, bk, 0.0, True, causal=causal
+        )
+        for gf, gs, name in zip(d_f, d_s, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gs), atol=2e-6,
+                err_msg=f"fused d{name} mismatch (causal={causal}, bq={bq}, bk={bk})",
+            )
+
+    def test_dropout_bitstream_matches_split(self):
+        from trade_aid_multimodal_transformer_tpu.ops import pallas_attention as pa
+
+        q, k, v = qkv(1, 512, 16, seed=73)
+        seed = jnp.asarray([4321], jnp.int32)
+        out, lse = pa._flash_forward(q, k, v, seed, 128, 128, 0.25, True)
+        g = jax.random.normal(jax.random.PRNGKey(9), out.shape, out.dtype)
+        d_f = pa._flash_backward_fused(
+            q, k, v, out, lse, g, seed, 128, 128, 0.25, True
+        )
+        d_s = pa._flash_backward(
+            q, k, v, out, lse, g, seed, 128, 128, 0.25, True
+        )
+        for gf, gs, name in zip(d_f, d_s, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gs), atol=2e-6,
+                err_msg=f"fused d{name} dropout mismatch",
+            )
+
+    def test_dispatch_selects_fused(self):
+        """Production/long-context shapes (bf16, T ≤ ~9.8k; f32, T ≤ ~6.7k)
+        take the fused tier; beyond it the split kernels, then streaming."""
+        from trade_aid_multimodal_transformer_tpu.ops import pallas_attention as pa
+
+        assert pa._fused_bwd_fits(1024, 64, 2)
+        assert pa._fused_bwd_fits(4096, 64, 2)
+        assert pa._fused_bwd_fits(4096, 64, 4)
+        assert not pa._fused_bwd_fits(16384, 64, 2)
+        assert not pa._fused_bwd_fits(8192, 64, 4)
+
+    def test_gate_fallback_end_to_end_grads(self, monkeypatch):
+        """With the fused budget forced to zero the public entry point falls
+        back to the split kernels; grads must still match the dense core."""
+        from trade_aid_multimodal_transformer_tpu.ops import pallas_attention as pa
+
+        monkeypatch.setattr(pa, "FUSED_BWD_VMEM_BUDGET", 0)
+        q, k, v = qkv(1, 512, 16, seed=75)
+        g_f = jax.grad(
+            lambda q, k, v: jnp.sum(flash_causal_attention(q, k, v, interpret=True) ** 2),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        g_d = jax.grad(
+            lambda q, k, v: jnp.sum(causal_attention_jnp(q, k, v) ** 2),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(g_f, g_d):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
 @pytest.mark.slow
 class TestBf16KernelIO:
     """bf16 q/k/v pass straight through the kernels (half the HBM traffic);

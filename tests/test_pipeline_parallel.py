@@ -108,6 +108,47 @@ class TestPipelineEquivalence:
         )
         np.testing.assert_allclose(float(ref), float(pp), rtol=1e-6)
 
+    @pytest.mark.slow
+    def test_optimizer_trajectory_matches_sequential(self, cfg, params):
+        """Multi-step AdamW trajectory THROUGH the GPipe schedule (dropout 0,
+        where the pipeline's per-(layer, microbatch) dropout stream drops out
+        of the math): per-step losses and the final parameter vector must
+        match the sequential trainer's."""
+        import dataclasses
+
+        import optax
+
+        cfg0 = dataclasses.replace(cfg, dropout=0.0)
+        p0 = init_params(jax.random.PRNGKey(0), cfg0)
+        mesh = _pipe_mesh(2)
+        idx, tgt = _batch(cfg0)
+        opt = optax.adamw(1e-2)
+
+        def run(loss_fn, n_steps=3):
+            @jax.jit
+            def step(p, o):
+                loss, g = jax.value_and_grad(loss_fn)(p)
+                upd, o = opt.update(g, o, p)
+                return optax.apply_updates(p, upd), o, loss
+
+            p, o, losses = p0, opt.init(p0), []
+            for _ in range(n_steps):
+                p, o, l = step(p, o)
+                losses.append(float(l))
+            return p, losses
+
+        p_sq, l_sq = run(lambda p: total_loss(p, cfg0, idx, tgt, None, True)[0])
+        p_pp, l_pp = run(
+            lambda p: pipeline_total_loss(
+                p, cfg0, idx, tgt, mesh, 4, train=True
+            )[0]
+        )
+        np.testing.assert_allclose(l_sq, l_pp, rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(p_sq), jax.tree.leaves(p_pp)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
+
     def test_stack_unstack_roundtrip(self, cfg, params):
         stacked = stack_blocks(params["blocks"])
         back = unstack_blocks(stacked, cfg.n_layer)

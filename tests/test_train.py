@@ -550,11 +550,25 @@ class TestFusedUpdate:
             1e-2, lr_schedule={"type": "cosine", "warmup_steps": 2,
                                "decay_steps": 14}, with_spec=True,
         )
-        pa, _, la = self._run(setup, opt, None)
-        pb, _, lb = self._run(setup, opt, spec)
+        pa, oa, la = self._run(setup, opt, None)
+        pb, ob, lb = self._run(setup, opt, spec)
         np.testing.assert_allclose(la, lb, atol=1e-5)
         for x, y in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-5)
+        # the ScaleByScheduleState count must also round-trip: the fused
+        # path steps the schedule itself, and a checkpoint resumed with
+        # fused_update off must not restart the warmup (advisor r4)
+        import optax
+
+        def schedule_counts(state):
+            if isinstance(state, optax.ScaleByScheduleState):
+                return [int(state.count)]
+            if isinstance(state, (tuple, list)):
+                return [c for s in state for c in schedule_counts(s)]
+            return []
+
+        ca, cb = schedule_counts(oa), schedule_counts(ob)
+        assert ca == cb == [7], (ca, cb)
 
     def test_config_surface(self):
         from trade_aid_multimodal_transformer_tpu.config.system import SystemConfig

@@ -61,15 +61,38 @@ def emit(msg: str = ""):
     _REPORT_LINES.append(str(msg))
 
 
-def run_entry(main_path: Path, workdir: Path, timeout=600, seed=None) -> str:
+def run_entry(main_path: Path, workdir: Path, timeout=600, seed=None,
+              wrap_seed: bool = False) -> str:
     env = dict(os.environ)
     if seed is not None:
-        # both entrypoints honor TAT_SEED when set (ours: main.py; for the
-        # reference it is ignored — its RNG differs anyway)
+        # our entrypoint honors TAT_SEED; the reference has no seeding hook
+        # at all (no torch.manual_seed/random.seed anywhere in its main), so
+        # for it ``wrap_seed`` seeds torch/random/numpy in-process before
+        # running its main under runpy — making the N reference "seed runs"
+        # reproducible across harness invocations (advisor r4) rather than
+        # OS-entropy draws.
         env["TAT_SEED"] = str(seed)
         env["PYTHONHASHSEED"] = str(seed)
+    if wrap_seed and seed is not None:
+        code = (
+            "import sys, random, runpy\n"
+            f"random.seed({int(seed)})\n"
+            "try:\n"
+            f"    import numpy; numpy.random.seed({int(seed)})\n"
+            "except ImportError:\n"
+            "    pass\n"
+            "try:\n"
+            f"    import torch; torch.manual_seed({int(seed)})\n"
+            "except ImportError:\n"
+            "    pass\n"
+            "sys.argv = ['main.py']\n"
+            f"runpy.run_path({str(main_path)!r}, run_name='__main__')\n"
+        )
+        cmd = [sys.executable, "-c", code]
+    else:
+        cmd = [sys.executable, str(main_path)]
     proc = subprocess.run(
-        [sys.executable, str(main_path)],
+        cmd,
         cwd=workdir,
         capture_output=True,
         text=True,
@@ -320,7 +343,8 @@ def main():
                 emit(f"== running reference (seed run {s + 1}/{args.seeds}) ==")
                 try:
                     refs.append(parse_surface(
-                        run_entry(ref_main, ref_dir, args.timeout, seed=s)
+                        run_entry(ref_main, ref_dir, args.timeout, seed=s,
+                                  wrap_seed=True)
                     ))
                 except Exception as e:
                     emit(f"reference run failed, skipping cross-check: {e}")

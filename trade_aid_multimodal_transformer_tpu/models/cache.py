@@ -236,6 +236,15 @@ def _cache_append(c, tail, new, start, scale=None):
         # tail[k] holds position pos - (pack-1) + k; block j of the row
         # needs position pos - pos%pack + j -> roll by (pos%pack) + 1
         row_blocks = jnp.roll(tail, pos % pack + 1, axis=-2)
+        if q8:
+            # blocks j > pos%pack are stale (a previous row's token, hidden
+            # by the pos-mask on reads) — zero them so the int8 scale covers
+            # only live lanes; a stale outlier would otherwise transiently
+            # coarsen the newest token's quantization until the row fills
+            # (advisor r4)
+            j_idx = jnp.arange(pack, dtype=jnp.int32)
+            live = (j_idx <= pos % pack)[:, None]
+            row_blocks = jnp.where(live, row_blocks, 0)
         row = row_blocks.reshape(*row_blocks.shape[:-2], 1, pack * hs)
         c, scale = store_rows(c, scale, row, pos // pack)
         return c, tail, scale

@@ -15,13 +15,20 @@ blocks for its row; the causal structure bounds the inner loop at the
 diagonal block. The forward also emits the per-row logsumexp L = m + log(l)
 so the backward can reconstruct P = exp(S − L) blockwise.
 
-Backward: two blockwise kernels in the FlashAttention-2 style —
-  dQ kernel, grid (N, T/BQ): for query block i, stream key blocks j ≤ i,
-    recompute P from (q, k, L), dS = P ∘ (dO·Vᵀ − D), dQ_i += dS·K·scale
-  dK/dV kernel, grid (N, T/BK): for key block j, stream query blocks i ≥ j,
-    dV_j += Pᵀ·dO, dK_j += dSᵀ·Q·scale
-where D = rowsum(dO ∘ O) is a cheap elementwise pass outside the kernels.
-Nothing of size T² ever touches HBM in either direction.
+Backward, three dispatch tiers by VMEM footprint —
+  fused kernel (default, whole q/dO rows + f32 dQ row resident): grid
+    (N, T/BK); for key block j, stream query blocks i ≥ j, recompute
+    P = exp(S − L) ONCE per block pair and emit dV_j += Pᵀ·dO,
+    dK_j += dSᵀ·Q·scale AND dQ_i += dS·K·scale into a VMEM-revisited dQ
+    row output — 5 matmuls + 1 exp per pair;
+  split kernels (FlashAttention-2 style, when the fused residency exceeds
+    VMEM): a dQ kernel over query blocks and a dK/dV kernel over key
+    blocks, each recomputing P — 7 matmuls + 2 exp per pair;
+  streamed kernels (very long T): KV/Q block-streamed over a third grid
+    axis, O(block) VMEM.
+In all tiers dS = P ∘ (dO·Vᵀ − D) with D = rowsum(dO ∘ O), a cheap
+elementwise pass outside the kernels. Nothing of size T² ever touches HBM
+in either direction.
 
 Cross-attention variant: the model's cross-attention attends one query
 stream against J KV streams and SUMS the per-stream outputs (reference:
@@ -614,6 +621,166 @@ def _flash_backward(q, k, v, out, lse, g, seed, bq, bk, rate, interpret,
     return dq, dk, dv
 
 
+# ------------------------------------------------- backward, fused dQ+dK+dV
+
+
+def _flash_bwd_fused_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref,
+    dq_ref, dk_ref, dv_ref,
+    *, bq: int, bk: int, scale: float, rate: float, interpret: bool,
+    causal: bool = True,
+):
+    """dQ, dK and dV in ONE kernel sharing a single P = exp(S − L) recompute.
+
+    Key-block-major like the dK/dV kernel — grid (N, T_k/BK) — but the full
+    f32 dQ row rides along as a VMEM-resident output revisited by every jk
+    program of the same n: the dQ block index ignores jk, and jk is the
+    inner grid axis, so revisits are consecutive — zero the row at jk == 0,
+    accumulate per query block inside the loop, and Pallas writes it back
+    to HBM once per n. Each (iq, jk) block pair then pays ONE S matmul, ONE
+    exp pass, ONE dO·Vᵀ matmul and ONE dropout keep-mask instead of the two
+    each that the split dQ / dK+dV kernels pay (both recompute P
+    independently): 5 MXU matmuls + 1 exp per pair instead of 7 + 2. At
+    hs = 64 the exp pass is VPU-bound and comparable to a matmul, so this
+    is the kernel family round 4's T=1024 anatomy called for
+    (TECHNICAL_NOTES.md: fused multi-pass backward sharing one exp
+    recompute). Semantics unchanged vs reference model.py:65-72.
+    """
+    n_idx = pl.program_id(0)
+    jk = pl.program_id(1)
+
+    @pl.when(jk == 0)
+    def _():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    k_blk = k_ref[0]        # (bk, hs)
+    v_blk = v_ref[0]        # (bk, hs)
+    hs = k_blk.shape[-1]
+    t_q = q_ref.shape[1]
+    k_offset = jk * bk
+    n_q_blocks = t_q // bq
+
+    def body(iq, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(iq * bq, bq), :]
+        do = do_ref[0, pl.ds(iq * bq, bq), :]
+        lse = lse_ref[0, 0, pl.ds(iq * bq, bq)][:, None]
+        delta = delta_ref[0, 0, pl.ds(iq * bq, bq)][:, None]
+        s = jax.lax.dot_general(
+            q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (bq, bk)
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + iq * bq
+            cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + k_offset
+            p = jnp.where(rows >= cols, jnp.exp(s - lse), 0.0)
+        else:
+            p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if rate > 0.0:
+            keep = _keep_mask(
+                seed_ref[0], n_idx, iq, jk, (bq, bk), rate, interpret
+            )
+            pd = jnp.where(keep, p / (1.0 - rate), 0.0)
+            dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
+        else:
+            pd = p
+        dv = dv + jax.lax.dot_general(
+            pd.astype(do.dtype), do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - delta)).astype(q.dtype)
+        dk = dk + jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dq_blk = dq_ref[0, pl.ds(iq * bq, bq), :]
+        dq_ref[0, pl.ds(iq * bq, bq), :] = dq_blk + jax.lax.dot_general(
+            ds, k_blk, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        return dk, dv
+
+    first_q_block = k_offset // bq if causal else 0
+    dk, dv = jax.lax.fori_loop(
+        first_q_block,
+        n_q_blocks,
+        body,
+        (jnp.zeros((bk, hs), jnp.float32), jnp.zeros((bk, hs), jnp.float32)),
+    )
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+# VMEM gate for the fused backward: per-n resident bytes are the q and dO
+# rows (input dtype), the f32 dQ row, and the f32 lse/delta rows — Pallas
+# double-buffers them across n, and the k/v/dk/dv blocks + compute scratch
+# need headroom inside the ~16 MB/core. bf16 passes up to T≈9.8k (T=8192:
+# 8.5 MB), f32 up to T≈6.7k; beyond that the split two-kernel backward
+# (half the per-n residency) still applies until streaming takes over.
+FUSED_BWD_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _fused_bwd_fits(t_q: int, hs: int, itemsize: int) -> bool:
+    resident = t_q * hs * (2 * itemsize + 4) + 2 * 4 * t_q
+    return 2 * resident <= FUSED_BWD_VMEM_BUDGET
+
+
+def _flash_backward_fused(q, k, v, out, lse, g, seed, bq, bk, rate, interpret,
+                          causal: bool = True):
+    """Single-kernel dQ/dK/dV backward (see _flash_bwd_fused_kernel).
+
+    lse: (n, 1, t) as produced by the forward kernel. Equivalence with the
+    split backward (and the dense core) — values, gradients, and the exact
+    in-kernel dropout bitstream, which is keyed by the same
+    (seed, n, iq, jk) tuple — is pinned by tests/test_kernels.py.
+    """
+    n, t, hs = q.shape
+    t_k = k.shape[1]
+    causal_div = 2 if causal else 1
+    scale = hs ** -0.5
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )[:, None, :]  # (n, 1, t)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_fused_kernel, bq=bq, bk=bk, scale=scale, rate=rate,
+            interpret=interpret, causal=causal,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, jnp.float32),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        grid=(n, t_k // bk),
+        in_specs=[
+            pl.BlockSpec((1, t, hs), lambda i, j: (i, 0, 0)),    # q
+            pl.BlockSpec((1, bk, hs), lambda i, j: (i, j, 0)),   # k
+            pl.BlockSpec((1, bk, hs), lambda i, j: (i, j, 0)),   # v
+            pl.BlockSpec((1, t, hs), lambda i, j: (i, 0, 0)),    # dO
+            pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0)),     # lse
+            pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0)),     # delta
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # seed
+        ],
+        out_specs=(
+            pl.BlockSpec((1, t, hs), lambda i, j: (i, 0, 0)),    # dq (f32 row)
+            pl.BlockSpec((1, bk, hs), lambda i, j: (i, j, 0)),   # dk
+            pl.BlockSpec((1, bk, hs), lambda i, j: (i, j, 0)),   # dv
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * n * t * t_k * hs // causal_div,
+            bytes_accessed=9 * n * t * hs * 4,
+            transcendentals=n * t * t_k // causal_div,
+        ),
+    )(q, k, v, g, lse, delta, seed)
+    return dq.astype(q.dtype), dk, dv
+
+
 # --------------------------------------------------- backward, KV-streamed
 
 
@@ -844,6 +1011,10 @@ def _bwd_dispatch(q, k, v, out, lse, g, seed, bq, bk, rate, interpret,
                   causal=True):
     if _use_streaming(k.shape[1], k.shape[2], k.dtype.itemsize):
         return _flash_backward_streamed(
+            q, k, v, out, lse, g, seed, bq, bk, rate, interpret, causal=causal
+        )
+    if _fused_bwd_fits(q.shape[1], q.shape[2], q.dtype.itemsize):
+        return _flash_backward_fused(
             q, k, v, out, lse, g, seed, bq, bk, rate, interpret, causal=causal
         )
     return _flash_backward(

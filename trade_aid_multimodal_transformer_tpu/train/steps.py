@@ -228,9 +228,16 @@ def _find_adam_state(opt_state):
 
 def _replace_adam_state(opt_state, new_state):
     """Return opt_state with its ScaleByAdamState swapped for new_state,
-    preserving the surrounding chain structure (and namedtuple types)."""
+    preserving the surrounding chain structure (and namedtuple types).
+    Any ScaleByScheduleState in the chain is advanced to the new adam
+    count — the fused path steps the schedule itself (lr_fn(count + i)),
+    so without this the standard-optimizer state a checkpoint round-trips
+    would restart the schedule (warmup LR mid-run) when fused_update is
+    toggled off across a resume (advisor r4)."""
     if isinstance(opt_state, optax.ScaleByAdamState):
         return new_state
+    if isinstance(opt_state, optax.ScaleByScheduleState):
+        return optax.ScaleByScheduleState(count=new_state.count)
     if isinstance(opt_state, tuple):
         rebuilt = tuple(_replace_adam_state(s, new_state) for s in opt_state)
         if hasattr(opt_state, "_fields"):  # namedtuple

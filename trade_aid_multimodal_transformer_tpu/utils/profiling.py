@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 from typing import List, Optional
 
 import jax
+import numpy as np
 
 
 @contextlib.contextmanager
@@ -60,11 +61,17 @@ class StepTimer:
 
     @property
     def steady_steps_per_sec(self) -> float:
-        """Best per-chunk rate over multi-step chunks — the post-compile
-        steady rate (the first chunk of a fused-scan run pays the XLA
-        compile, which the cumulative rate would smear over every step)."""
+        """Median per-chunk rate over multi-step chunks, excluding the first
+        (which pays the XLA compile that the cumulative rate would smear
+        over every step). Median rather than max so one lucky chunk cannot
+        inflate the headline rate (advisor r4); with a single multi-step
+        chunk there is nothing to exclude, so it is used as-is."""
         rates = [n / s for n, s in self.chunks if n > 1 and s > 0]
-        return max(rates) if rates else self.steps_per_sec
+        if not rates:
+            return self.steps_per_sec
+        if len(rates) > 1:
+            rates = rates[1:]
+        return float(np.median(rates))
 
     def summary(self) -> str:
         return (
