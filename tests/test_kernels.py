@@ -182,6 +182,40 @@ class TestFlashCross:
 
         check_grads(f, (q, k, v), order=1, modes=("rev",), atol=2e-2, rtol=2e-2)
 
+    @pytest.mark.parametrize("rate", [0.0, 0.25])
+    def test_res_forward_matches_per_stream(self, rate):
+        """The grad-path cross kernel's per-stream residuals (out_j, lse_j)
+        must equal running the row forward per stream with the shifted
+        seed — the backward consumes them instead of recomputing (and its
+        sum output must equal the sum-only primal kernel's)."""
+        from trade_aid_multimodal_transformer_tpu.ops import pallas_attention as pa
+
+        ks = jax.random.split(jax.random.PRNGKey(29), 3)
+        q = jax.random.normal(ks[0], (2, 256, 16), jnp.float32)
+        k = jax.random.normal(ks[1], (3, 2, 256, 16), jnp.float32)
+        v = jax.random.normal(ks[2], (3, 2, 256, 16), jnp.float32)
+        seed = jnp.asarray([777], jnp.int32)
+        out, outs, lses = pa._flash_cross_forward_res(
+            q, k, v, seed, 128, 128, rate, True
+        )
+        out_sum = pa._flash_cross_forward(q, k, v, seed, 128, 128, rate, True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(out_sum), atol=1e-6
+        )
+        for j in range(3):
+            seed_j = seed + (j + 1) * pa._STREAM_SEED_STRIDE
+            o_j, l_j = pa._flash_forward(
+                q, k[j], v[j], seed_j, 128, 128, rate, True
+            )
+            np.testing.assert_allclose(
+                np.asarray(outs[j]), np.asarray(o_j), atol=1e-6,
+                err_msg=f"stream {j} residual out mismatch (rate={rate})",
+            )
+            np.testing.assert_allclose(
+                np.asarray(lses[j]), np.asarray(l_j), atol=1e-6,
+                err_msg=f"stream {j} residual lse mismatch (rate={rate})",
+            )
+
 
 @pytest.mark.slow
 class TestInKernelDropout:

@@ -501,6 +501,67 @@ class TestLRSchedule:
             )
 
 
+class TestBf16MasterParams:
+    """tpu_options.params_dtype: bfloat16 — bf16 MASTER params (contract
+    change, opt-in). AdamW math stays f32 (_adamw_lowmem upcasts on read);
+    only the persisted param storage rounds. The trajectory must track the
+    f32-master baseline closely, and the stored leaves must stay bf16."""
+
+    def test_config_surface(self):
+        from trade_aid_multimodal_transformer_tpu.config.system import SystemConfig
+
+        sc = SystemConfig.from_dict(
+            {"tpu_options": {"compute_dtype": "bfloat16",
+                             "params_dtype": "bfloat16"}}
+        )
+        assert sc.params_dtype == "bfloat16"
+        assert sc.to_dict()["tpu_options"]["params_dtype"] == "bfloat16"
+        with pytest.raises(ValueError, match="params_dtype"):
+            SystemConfig.from_dict({"tpu_options": {"params_dtype": "bfloat16"}})
+        with pytest.raises(ValueError, match="params_dtype"):
+            SystemConfig.from_dict(
+                {"tpu_options": {"compute_dtype": "bfloat16",
+                                 "params_dtype": "float16"}}
+            )
+
+    def test_trajectory_tracks_f32_master(self, setup):
+        import dataclasses
+
+        cfg, feed, _, params, _ = setup
+        cfg_b = dataclasses.replace(cfg, compute_dtype="bfloat16")
+        vocabs = [list(np.linspace(-3, 3, 13)), [-2.0, -1.0, 0.0, 1.0, 2.0]]
+        specs = build_metric_specs(vocabs, [False, True], 4)
+
+        def run(opt, p0, n1=4, n2=3):
+            tr = Trainer(cfg_b, feed, opt, specs, eval_iters=3)
+            p, o = p0, opt.init(p0)
+            p, o, l1 = tr.train_chunk(p, o, jax.random.PRNGKey(21), n1)
+            p, o, l2 = tr.train_chunk(p, o, jax.random.PRNGKey(22), n2)
+            return p, o, np.concatenate([np.asarray(l1, np.float32),
+                                         np.asarray(l2, np.float32)])
+
+        p_f, _, l_f = run(make_optimizer(1e-2), fresh(params))
+        opt_b = make_optimizer(1e-2, params_dtype="bfloat16")
+        p_b0 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), fresh(params))
+        p_b, o_b, l_b = run(opt_b, p_b0)
+
+        for leaf in jax.tree.leaves(p_b):
+            assert leaf.dtype == jnp.bfloat16
+        # bf16 storage rounds each applied update; trajectories track the
+        # f32-master baseline at bf16 resolution over these short chunks
+        np.testing.assert_allclose(l_f, l_b, atol=5e-2)
+        # per-weight drift compounds over steps (each applied update rounds
+        # through bf16); what must hold is aggregate tracking, not per-leaf
+        # bit closeness
+        num = sum(
+            float(jnp.sum(jnp.square(a.astype(jnp.float32) - b.astype(jnp.float32))))
+            for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_b))
+        )
+        den = sum(float(x.size) for x in jax.tree.leaves(p_f))
+        rms = math.sqrt(num / den)
+        assert rms < 2e-2, f"bf16-master params RMS drift {rms:.4f} vs f32 master"
+
+
 class TestFusedUpdate:
     """Fused flat-state AdamW chunk (tpu_options.fused_update,
     train/steps.AdamWSpec): the scan carries three flat vectors instead of

@@ -112,7 +112,8 @@ def main():
     print(f"mode={args.ablate or 'hash'}  op self-time total: {total_ms:.2f} ms "
           f"({total_ms/n:.3f} ms/step, {len(tot)} distinct ops)")
     for (key, shape), ps in tot.most_common(args.top):
-        print(f"  {ps/1e9/n:9.1f} us/step x{cnt[(key, shape)]//n:<4} {key:<28} {shape[:80]}")
+        # duration_ps / 1e9 = milliseconds
+        print(f"  {ps/1e9/n:9.3f} ms/step x{cnt[(key, shape)]//n:<4} {key:<28} {shape[:80]}")
     if args.json:
         out = {
             "mode": args.ablate or "hash",

@@ -71,6 +71,13 @@ class SystemConfig:
     # optional `tpu_options:` YAML section with safe defaults, so every
     # reference config.yaml loads unchanged)
     compute_dtype: str = "float32"   # 'float32' | 'bfloat16' (mixed precision)
+    # bf16 MASTER params (contract change, opt-in): parameters are STORED
+    # in bfloat16 — halves param read/write traffic in both the matmuls and
+    # the optimizer. AdamW math still runs in f32 (_adamw_lowmem), but each
+    # applied update rounds through bf16 storage, so trajectories diverge
+    # from the f32-master contract at the ~1e-3 relative level (measured
+    # deltas in TECHNICAL_NOTES). Requires compute_dtype: bfloat16.
+    params_dtype: str = "float32"    # 'float32' | 'bfloat16' (master params)
     attn_impl: str = "auto"          # 'auto' | 'jnp' | 'pallas'
     remat: bool = False              # rematerialize blocks in backward
     rng_impl: str = "auto"           # 'auto' | 'threefry2x32' | 'rbg'
@@ -168,6 +175,16 @@ class SystemConfig:
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(
                 f"compute_dtype must be 'float32' or 'bfloat16', got {self.compute_dtype!r}"
+            )
+        if self.params_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"params_dtype must be 'float32' or 'bfloat16', got {self.params_dtype!r}"
+            )
+        if self.params_dtype == "bfloat16" and self.compute_dtype != "bfloat16":
+            raise ValueError(
+                "params_dtype: bfloat16 requires compute_dtype: bfloat16 "
+                "(bf16 master params only pay off when the matmuls consume "
+                "them directly)"
             )
         if self.attn_impl not in ("auto", "jnp", "pallas"):
             raise ValueError(
@@ -289,6 +306,7 @@ class SystemConfig:
         tpu = config_dict.get("tpu_options", {}) or {}
         return cls(
             compute_dtype=tpu.get("compute_dtype", "float32"),
+            params_dtype=tpu.get("params_dtype", "float32"),
             attn_impl=tpu.get("attn_impl", "auto"),
             remat=bool(tpu.get("remat", False)),
             rng_impl=tpu.get("rng_impl", "auto"),
@@ -363,6 +381,7 @@ class SystemConfig:
             },
             "tpu_options": {
                 "compute_dtype": self.compute_dtype,
+                "params_dtype": self.params_dtype,
                 "attn_impl": self.attn_impl,
                 "remat": self.remat,
                 "rng_impl": self.rng_impl,

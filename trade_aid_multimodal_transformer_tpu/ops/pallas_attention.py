@@ -1122,6 +1122,115 @@ def _flash_cross_kernel(
         o_ref[0, 0] = o_ref[0, 0] + stream_out
 
 
+def _flash_cross_kernel_res(
+    q_ref, k_ref, v_ref, seed_ref, o_ref, os_ref, lse_ref,
+    *, bq: int, bk: int, scale: float, rate: float, interpret: bool,
+):
+    """_flash_cross_kernel + per-stream residuals (out_j, lse_j).
+
+    Used on the GRAD path (custom_vjp fwd): the backward needs each
+    stream's output (for D_j = rowsum(dO ∘ O_j)) and logsumexp — emitting
+    them here costs one extra (bq, hs) store per program, while the
+    recompute they replace cost a full per-stream blockwise forward
+    (measured 36 extra kernels ≈ 10 ms/step at T=1024 production, round 5).
+    The primal-only path keeps the sum-only kernel.
+    """
+    jj = pl.program_id(0)
+    n_idx = pl.program_id(1)
+    iq = pl.program_id(2)
+    stream_seed = seed_ref[0] + (jj + 1) * _STREAM_SEED_STRIDE
+    q = q_ref[0, 0]  # (bq, hs)
+    hs = q.shape[-1]
+    t_k = k_ref.shape[2]
+
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, hs), jnp.float32)
+    q_offset = iq * bq
+
+    def body(jk, carry):
+        m, l, acc = carry
+        k_blk = k_ref[0, 0, pl.ds(jk * bk, bk), :]
+        v_blk = v_ref[0, 0, pl.ds(jk * bk, bk), :]
+        s = jax.lax.dot_general(
+            q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + q_offset
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + jk * bk
+        s = jnp.where(rows >= cols, s, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        if rate > 0.0:
+            keep = _keep_mask(
+                stream_seed, n_idx, iq, jk, (bq, bk), rate, interpret
+            )
+            p_acc = jnp.where(keep, p, 0.0)
+        else:
+            p_acc = p
+        acc = acc * corr + jax.lax.dot_general(
+            p_acc.astype(v_blk.dtype), v_blk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l, acc
+
+    num_kv_blocks = jnp.minimum((q_offset + bq + bk - 1) // bk, t_k // bk)
+    m, l, acc = jax.lax.fori_loop(0, num_kv_blocks, body, (m0, l0, acc0))
+    stream_out = (acc / (l * (1.0 - rate))).astype(o_ref.dtype)
+
+    os_ref[0, 0] = stream_out
+    lse_ref[0, 0, 0, pl.ds(q_offset, bq)] = (m + jnp.log(l))[:, 0]
+
+    @pl.when(jj == 0)
+    def _():
+        o_ref[0, 0] = stream_out
+
+    @pl.when(jj > 0)
+    def _():
+        o_ref[0, 0] = o_ref[0, 0] + stream_out
+
+
+def _flash_cross_forward_res(q, k, v, seed, bq, bk, rate, interpret):
+    """Grad-path cross forward: (sum output, per-stream outs, per-stream
+    lses) — see _flash_cross_kernel_res."""
+    j, n, t, hs = k.shape
+    scale = hs ** -0.5
+    kernel = functools.partial(
+        _flash_cross_kernel_res, bq=bq, bk=bk, scale=scale, rate=rate,
+        interpret=interpret,
+    )
+    out, outs, lses = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n, t, hs), q.dtype),
+            jax.ShapeDtypeStruct((j, n, t, hs), q.dtype),
+            jax.ShapeDtypeStruct((j, n, 1, t), jnp.float32),
+        ),
+        grid=(j, n, t // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, hs), lambda jj, i, iq: (0, i, iq, 0)),
+            pl.BlockSpec((1, 1, t, hs), lambda jj, i, iq: (jj, i, 0, 0)),
+            pl.BlockSpec((1, 1, t, hs), lambda jj, i, iq: (jj, i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, bq, hs), lambda jj, i, iq: (0, i, iq, 0)),
+            pl.BlockSpec((1, 1, bq, hs), lambda jj, i, iq: (jj, i, iq, 0)),
+            pl.BlockSpec((1, 1, 1, t), lambda jj, i, iq: (jj, i, 0, 0)),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * j * n * t * t * hs // 2,
+            bytes_accessed=(3 * j + 2) * n * t * hs * 4,
+            transcendentals=j * n * t * t // 2,
+        ),
+    )(q[None], k, v, seed)
+    return out[0], outs, lses
+
+
 def _flash_cross_forward(q, k, v, seed, bq, bk, rate, interpret):
     """q: (N, T, hs); k, v: (J, N, T, hs). Returns sum_j attn(q, k_j, v_j)."""
     j, n, t, hs = k.shape
@@ -1157,29 +1266,34 @@ def _flash_cross(q, k, v, seed, bq, bk, rate, interpret):
 
 
 def _flash_cross_fwd(q, k, v, seed, bq, bk, rate, interpret):
-    return (
-        _flash_cross_forward(q, k, v, seed, bq, bk, rate, interpret),
-        (q, k, v, seed),
+    # grad path: the res kernel additionally emits per-stream (out_j, lse_j)
+    # so the backward never recomputes a forward (rounds 1-4 recomputed
+    # 36 per-stream forwards ≈ 10 ms/step at T=1024 production)
+    out, outs, lses = _flash_cross_forward_res(
+        q, k, v, seed, bq, bk, rate, interpret
     )
+    return out, (q, k, v, seed, outs, lses)
 
 
 def _flash_cross_bwd(bq, bk, rate, interpret, res, g):
     # Blockwise per-stream backward: out = Σ_j attn(q, k_j, v_j) with
     # independent softmaxes, so d/d(q, k_j, v_j) decomposes per stream with
-    # the SAME cotangent g. Each stream recomputes its (out_j, lse_j)
-    # through the blockwise forward and differentiates through the blockwise
-    # dQ / dK+dV kernels — nothing of size T² touches HBM. Stream j's
-    # dropout masks reproduce from the shifted seed (same keying as the
-    # fused forward). The J loop unrolls at trace time (J = num_modalities
-    # - 1, small by construction).
-    q, k, v, seed = res
+    # the SAME cotangent g. Stream j differentiates through the fused
+    # dQ/dK/dV kernel against its saved (out_j, lse_j) residuals — nothing
+    # of size T² touches HBM and nothing recomputes. Stream j's dropout
+    # masks reproduce from the shifted seed (same keying as the forward).
+    # The J loop unrolls at trace time (J = num_modalities - 1, small by
+    # construction; a J-batched single-call variant measured neutral —
+    # per-row kernel rates are identical at N=48 and N=144 — while paying
+    # q/dO broadcasts, so the loop stays).
+    q, k, v, seed, outs, lses = res
     dq = jnp.zeros_like(q)
     dks, dvs = [], []
     for j in range(k.shape[0]):
         seed_j = seed + (j + 1) * _STREAM_SEED_STRIDE
-        out_j, lse_j = _fwd_dispatch(q, k[j], v[j], seed_j, bq, bk, rate, interpret)
         dq_j, dk_j, dv_j = _bwd_dispatch(
-            q, k[j], v[j], out_j, lse_j, g, seed_j, bq, bk, rate, interpret
+            q, k[j], v[j], outs[j], lses[j], g, seed_j, bq, bk, rate,
+            interpret,
         )
         dq = dq + dq_j
         dks.append(dk_j)

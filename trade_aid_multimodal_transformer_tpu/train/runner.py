@@ -22,6 +22,7 @@ from datetime import datetime
 from typing import Any, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config.compat import (
@@ -340,21 +341,32 @@ def run_training(caller_globals: Optional[dict] = None, seed: Optional[int] = No
         # decay over the whole run unless the config pins a length
         lr_schedule = dict(lr_schedule)
         lr_schedule.setdefault("decay_steps", max_iters)
+    params_dtype = sc.get("params_dtype", "float32")
     optimizer, adamw_spec = make_optimizer(
         learning_rate,
         moment_dtype=sc.get("adam_moment_dtype", "float32"),
         nu_dtype=sc.get("adam_nu_dtype", "float32"),
         lr_schedule=lr_schedule,
         with_spec=True,
+        params_dtype=params_dtype,
     )
+
+    def _init_params(key):
+        p = init_params(key, cfg)
+        if params_dtype == "bfloat16":
+            # bf16 MASTER params (contract change, opt-in — config/system.py
+            # params_dtype): stored bf16, AdamW math f32 via _adamw_lowmem
+            p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
+        return p
+
     if create_new_model:
         print("Model: Creating new transformer...")
-        params = init_params(init_key, cfg)
+        params = _init_params(init_key)
         opt_state = optimizer.init(params)
         print("Model: Created successfully")
     else:
         print(f"Model: Loading from {model_file_name}...")
-        params = init_params(init_key, cfg)
+        params = _init_params(init_key)
         opt_state = optimizer.init(params)
         try:
             params, opt_loaded, _, _ = load_checkpoint(

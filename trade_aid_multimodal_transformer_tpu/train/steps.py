@@ -138,6 +138,7 @@ def make_optimizer(
     nu_dtype: str = "float32",
     lr_schedule: Optional[Dict[str, Any]] = None,
     with_spec: bool = False,
+    params_dtype: str = "float32",
 ):
     """AdamW matching torch.optim.AdamW defaults (reference: main.py:464).
 
@@ -168,7 +169,11 @@ def make_optimizer(
         mu_dtype=mu_dtype,
         nu_dtype=jnp.bfloat16 if nu_dtype == "bfloat16" else jnp.float32,
     )
-    if nu_dtype == "bfloat16":
+    if nu_dtype == "bfloat16" or params_dtype == "bfloat16":
+        # bf16 master params must route through the lowmem clone: its update
+        # MATH is always f32 (params/moments upcast on read), so only the
+        # bf16 STORAGE rounds — optax.adamw with bf16 param leaves would run
+        # the whole update in bf16
         opt = _adamw_lowmem(
             lr, b1=spec.b1, b2=spec.b2, eps=spec.eps,
             weight_decay=spec.weight_decay,
