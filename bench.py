@@ -360,20 +360,26 @@ def bench_long_context():
     return results
 
 
-def bench_serve(kv_dtype=None):
+def bench_serve(kv_dtype=None, refresh=256):
     """KV-cached serving throughput at a 16x-longer context than the
     production block (T=1024): ``generate_serve`` in the steady
     chunked-refresh regime — the prompt fills the window, so every measured
     token is a cached single-position decode, with one (now flash-kerneled)
     prefill amortized per ``refresh`` tokens (models/cache.py).
     ``kv_dtype='int8'`` measures the quantized-cache variant (half the
-    decode cache traffic — the ceiling itself moves)."""
+    decode cache traffic — the ceiling itself moves).
+
+    refresh=256 is the measured throughput/quality sweet spot (round-5
+    sweep: 128/256/512 -> bf16 4970/6021/6420 and int8 5477/6998/7868
+    tok/s; tools/serve_accuracy.py puts the context-band NLL penalty of
+    256 within noise of 128 — see TECHNICAL_NOTES 'Serving refresh
+    trade')."""
     import jax.numpy as jnp
 
     from trade_aid_multimodal_transformer_tpu.models.cache import generate_serve
     from trade_aid_multimodal_transformer_tpu.models.init import init_params
 
-    S, B, new, refresh = 1024, 16, 512, 128
+    S, B, new = 1024, 16, 512
     cfg, _sc, _rs = _production_cfg_sc(block_size=S)
     params = init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
@@ -495,10 +501,10 @@ def main():
                  "mfu_T4096": None, "flash_speedup": None})
     serve = _guard("serve", bench_serve, None)
     if serve:
-        log(f"serve T=1024 (B=16, chunked refresh): {serve:.0f} tok/s")
+        log(f"serve T=1024 (B=16, refresh=256): {serve:.0f} tok/s")
     serve8 = _guard("serve_int8", lambda: bench_serve("int8"), None)
     if serve8:
-        log(f"serve T=1024 int8 KV (B=16, chunked refresh): {serve8:.0f} tok/s")
+        log(f"serve T=1024 int8 KV (B=16, refresh=256): {serve8:.0f} tok/s")
     runner_sps = _guard("runner", bench_runner, None)
     if runner_sps:
         log(f"run_training (shipped entry path, demo config): "
@@ -565,7 +571,7 @@ def main():
                     {
                         "metric": "serve_tokens_per_sec_T1024",
                         "value": r(serve, 0),
-                        "unit": "tok/s (KV-cached, B=16)",
+                        "unit": "tok/s (KV-cached, B=16, refresh=256)",
                         "vs_baseline": None,
                     },
                     {
@@ -577,7 +583,7 @@ def main():
                     {
                         "metric": "serve_tokens_per_sec_T1024_int8kv",
                         "value": r(serve8, 0),
-                        "unit": "tok/s (int8 KV cache, B=16)",
+                        "unit": "tok/s (int8 KV cache, B=16, refresh=256)",
                         "vs_baseline": None,
                     },
                     {

@@ -76,6 +76,10 @@ def run_entry(main_path: Path, workdir: Path, timeout=600, seed=None,
     if wrap_seed and seed is not None:
         code = (
             "import sys, random, runpy\n"
+            # direct `python main.py` puts main's dir on sys.path[0]; under
+            # -c + runpy that slot is the cwd, so add it explicitly or the
+            # reference's sibling-module imports fail
+            f"sys.path.insert(0, {str(main_path.parent)!r})\n"
             f"random.seed({int(seed)})\n"
             "try:\n"
             f"    import numpy; numpy.random.seed({int(seed)})\n"

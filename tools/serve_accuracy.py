@@ -125,6 +125,58 @@ def main():
         print(f"{r:>8} {agree:>7.1f}% {float(np.median(first)):>18.0f} "
               f"{ident:>12}/{B}")
 
+    # The direct QUALITY metric: what refresh trades away is effective
+    # context — intra-chunk decodes see between S-refresh and S history
+    # tokens instead of always S, AND (because the refresh rebuilds the
+    # cache at positions 0..S-r-1) a shifted positional embedding. Measure
+    # exactly that: hold the TARGET tokens fixed (the last 32 of a held-out
+    # row) and re-evaluate their NLL under truncated windows of length
+    # C + 32 — each forward predicts the same 32 targets from >= C history
+    # tokens at the positions a post-refresh cache would give them. A
+    # per-position NLL curve from ONE full forward does NOT work here: it
+    # confounds context length with position-in-data (measured: the
+    # position trend dominates and even flips the sign of the apparent
+    # penalty). The serve penalty at refresh r is the curve mean over
+    # C in [S-r, S) minus the full-context point.
+    from trade_aid_multimodal_transformer_tpu.models.transformer import forward
+
+    full = np.stack([
+        np.stack([c[n_rows - n_val + j * 31:
+                    n_rows - n_val + j * 31 + S + 1] for j in range(B)])
+        for c in cols
+    ]).astype(np.int32)  # (M, B, S+1): window + next-token targets
+
+    def nll_at_context(C):
+        """Mean NLL of the last 32 targets given >= C history tokens."""
+        win = jnp.asarray(full[:, :, S - 32 - C: S])       # (M, B, C+32)
+        tgt = jnp.asarray(full[0, :, S - 32 - C + 1: S + 1])
+
+        @jax.jit
+        def f(params, xb, yb):
+            logits_list, _ = forward(params, cfg, xb, None, None, False)
+            lp = jax.nn.log_softmax(
+                logits_list[0].astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(lp, yb[..., None], axis=-1)[..., 0]
+            return nll[:, -32:].mean()
+
+        return float(fetch(f(params, win, tgt)))
+
+    ctxs = [128, 256, 384, 512, 768, S - 32]
+    curve = {C: nll_at_context(C) for C in ctxs}
+    base = curve[S - 32]
+    print(f"\nfixed-target NLL vs context length (same last-32 held-out "
+          f"targets; full-context baseline {base:.4f}):")
+    for C in ctxs:
+        print(f"  context >= {C:>4}: NLL {curve[C]:.4f} "
+              f"(delta {curve[C] - base:+.4f})")
+    for r in args.refresh:
+        # decodes in a refresh-r chunk see contexts in [S-r, S); their mean
+        # NLL ~ the curve mean over that band (linear interp on the grid)
+        lo = S - r
+        pts = [curve[C] for C in ctxs if lo <= C] or [base]
+        pen = float(np.mean(pts)) - base
+        print(f"  refresh={r:>4}: approx NLL penalty {pen:+.4f}")
+
 
 if __name__ == "__main__":
     main()
