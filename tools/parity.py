@@ -233,6 +233,10 @@ def compare_behavior(ours: list, refs: list, failures: list,
             sa, sb, na, nb, floor=8.0, single_run_band=25.0
         )
         split, mod = key
+        if len(a_runs) > 1:
+            emit(f"  per-seed ({split}/{mod}): "
+                 f"ours {[round(x, 1) for x in a_runs]} "
+                 f"ref {[round(x, 1) for x in b_runs]}")
         spread = (
             f" (band {band:.1f} from spread ours {sa:.1f} ref {sb:.1f})"
             if sa is not None else f" (single-run band {band:.0f})"
