@@ -327,10 +327,10 @@ def bench_long_context():
         )
         REPS = 8
 
-        def fwd_bwd(impl):
+        def fwd_bwd(attn):
             g = jax.grad(
                 lambda q, k, v: (
-                    causal_attention(q, k, v, impl=impl) ** 2
+                    attn(q, k, v) ** 2
                 ).sum().astype(jnp.float32),
                 argnums=(0, 1, 2),
             )
@@ -350,13 +350,50 @@ def bench_long_context():
                 best = min(best, (time.perf_counter() - t0) / REPS)
             return best
 
-        t_dense = fwd_bwd("jnp")
-        t_flash = fwd_bwd("pallas")
+        t_dense = fwd_bwd(
+            lambda q, k, v: causal_attention(q, k, v, impl="jnp")
+        )
+        t_flash = fwd_bwd(
+            lambda q, k, v: causal_attention(q, k, v, impl="pallas")
+        )
         log(f"attention fwd+bwd T=4096 (scan-amortized): "
             f"dense {t_dense*1e3:.2f} ms, flash {t_flash*1e3:.2f} ms")
         results["flash_speedup"] = t_dense / t_flash
+
+        # Ring (context-parallel) harness overhead on ONE chip: the same
+        # fwd+bwd through ring_causal_attention_local under shard_map over a
+        # 1-device mesh — explicit-lse merge machinery and the custom ring
+        # VJP engaged, zero ppermute hops. The per-chunk core IS the same
+        # Pallas flash kernel (parallel/ring_attention.py:29-32), so the
+        # ratio vs plain flash isolates what the CP wrapper costs before
+        # ICI hop traffic (which overlaps with compute) is added.
+        import functools
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from trade_aid_multimodal_transformer_tpu.parallel.ring_attention import (
+            ring_causal_attention_local,
+        )
+
+        mesh = Mesh(np.array(jax.devices()[:1]), ("seq",))
+        spec = P(None, None, "seq", None)
+        ring = shard_map(
+            functools.partial(
+                ring_causal_attention_local, axis_name="seq", impl="pallas"
+            ),
+            mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
+            check_rep=False,
+        )
+        t_ring = fwd_bwd(ring)
+        log(f"ring(P=1) fwd+bwd T=4096: {t_ring*1e3:.2f} ms "
+            f"({(t_ring / t_flash - 1) * 100:+.1f}% vs plain flash)")
+        results["ring_overhead_pct"] = (t_ring / t_flash - 1) * 100
     else:
         results["flash_speedup"] = None
+        results["ring_overhead_pct"] = None
     return results
 
 
@@ -578,6 +615,12 @@ def main():
                         "metric": "flash_speedup_T4096",
                         "value": r(lc["flash_speedup"]),
                         "unit": "x vs dense attention (fwd+bwd)",
+                        "vs_baseline": None,
+                    },
+                    {
+                        "metric": "ring_cp_overhead_T4096",
+                        "value": r(lc.get("ring_overhead_pct"), 1),
+                        "unit": "% over plain flash (1-device ring, fwd+bwd)",
                         "vs_baseline": None,
                     },
                     {
