@@ -95,15 +95,26 @@ def run_entry(main_path: Path, workdir: Path, timeout=600, seed=None,
         cmd = [sys.executable, "-c", code]
     else:
         cmd = [sys.executable, str(main_path)]
-    proc = subprocess.run(
-        cmd,
-        cwd=workdir,
-        capture_output=True,
-        text=True,
-        timeout=timeout,
-        env=env,
-    )
-    if proc.returncode != 0:
+    for attempt in (1, 2):
+        proc = subprocess.run(
+            cmd,
+            cwd=workdir,
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            env=env,
+        )
+        if proc.returncode == 0:
+            return proc.stdout
+        # The tunneled TPU occasionally drops mid-run with a transient
+        # backend FAILED_PRECONDITION (observed killing a 30-min harness
+        # run at seed 1's step-0 eval); retry such runs once.
+        transient = "TPU backend error" in proc.stderr or (
+            "FAILED_PRECONDITION" in proc.stderr
+        )
+        if attempt == 1 and transient:
+            emit(f"   (transient TPU backend error — retrying run once)")
+            continue
         raise RuntimeError(
             f"{main_path} failed ({proc.returncode}):\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
         )
