@@ -62,7 +62,7 @@ def emit(msg: str = ""):
 
 
 def run_entry(main_path: Path, workdir: Path, timeout=600, seed=None,
-              wrap_seed: bool = False) -> str:
+              wrap_seed: bool = False, patch_drift: bool = False) -> str:
     env = dict(os.environ)
     if seed is not None:
         # our entrypoint honors TAT_SEED; the reference has no seeding hook
@@ -90,8 +90,26 @@ def run_entry(main_path: Path, workdir: Path, timeout=600, seed=None,
             "except ImportError:\n"
             "    pass\n"
             "sys.argv = ['main.py']\n"
-            f"runpy.run_path({str(main_path)!r}, run_name='__main__')\n"
         )
+        if patch_drift:
+            # Drift-corrected CONTROL: fix ONLY the reference's in-place
+            # list mutation (data_utils.py:293-358 ``numeric_data[n] +=
+            # rand_value`` on the live train list) by handing the function
+            # a fresh copy per call — identical RNG consumption, identical
+            # per-batch augmentation semantics, but the train data no
+            # longer diffuses cumulatively over the run. get_batch rebinds
+            # ``from data_utils import ...`` at every call, so patching the
+            # module attribute is sufficient.
+            code += (
+                "import data_utils as _du\n"
+                "_orig_artdp = _du.add_rand_to_data_points\n"
+                "def _nodrift(nd, rs, vs):\n"
+                "    if isinstance(nd, list):\n"
+                "        nd = list(nd)\n"
+                "    return _orig_artdp(nd, rs, vs)\n"
+                "_du.add_rand_to_data_points = _nodrift\n"
+            )
+        code += f"runpy.run_path({str(main_path)!r}, run_name='__main__')\n"
         cmd = [sys.executable, "-c", code]
     else:
         cmd = [sys.executable, str(main_path)]
@@ -315,6 +333,12 @@ def main():
                              "losses measure progressively diffused data): "
                              "report the expected-direction final-train-"
                              "loss delta instead of failing on it")
+    parser.add_argument("--patch-reference-drift", action="store_true",
+                        help="drift-corrected control: monkey-patch the "
+                             "reference (in-process, never on disk) so "
+                             "add_rand_to_data_points works on a copy — "
+                             "same RNG draws and per-batch augmentation, "
+                             "no cumulative train-data diffusion")
     args = parser.parse_args()
 
     config_dir = args.config_dir.resolve()
@@ -329,6 +353,9 @@ def main():
             emit("== tpu_options overlay (ours only) ==")
             for line in args.tpu_options.strip().splitlines():
                 emit(f"   {line}")
+        if args.patch_reference_drift:
+            emit("== drift-corrected CONTROL: reference augmentation "
+                 "patched to copy-per-call (no cumulative diffusion) ==")
 
         ours = []
         for s in range(args.seeds):
@@ -363,7 +390,8 @@ def main():
                 try:
                     refs.append(parse_surface(
                         run_entry(ref_main, ref_dir, args.timeout, seed=s,
-                                  wrap_seed=True)
+                                  wrap_seed=True,
+                                  patch_drift=args.patch_reference_drift)
                     ))
                 except Exception as e:
                     emit(f"reference run failed, skipping cross-check: {e}")
