@@ -114,24 +114,37 @@ def run_entry(main_path: Path, workdir: Path, timeout=600, seed=None,
     else:
         cmd = [sys.executable, str(main_path)]
     for attempt in (1, 2):
-        proc = subprocess.run(
-            cmd,
-            cwd=workdir,
-            capture_output=True,
-            text=True,
-            timeout=timeout,
-            env=env,
-        )
+        try:
+            proc = subprocess.run(
+                cmd,
+                cwd=workdir,
+                capture_output=True,
+                text=True,
+                timeout=timeout,
+                env=env,
+            )
+        except subprocess.TimeoutExpired:
+            # the tunneled TPU occasionally WEDGES mid-run (a device call
+            # never returns; observed at a step-0 eval with 0% CPU for
+            # 20 min) — the timeout is the only signal; retry once
+            if attempt == 1:
+                emit("   (run exceeded timeout — TPU tunnel wedge? "
+                     "retrying once)")
+                continue
+            raise
         if proc.returncode == 0:
             return proc.stdout
-        # The tunneled TPU occasionally drops mid-run with a transient
-        # backend FAILED_PRECONDITION (observed killing a 30-min harness
-        # run at seed 1's step-0 eval); retry such runs once.
-        transient = "TPU backend error" in proc.stderr or (
-            "FAILED_PRECONDITION" in proc.stderr
+        # The tunneled TPU also drops mid-run with a transient backend
+        # FAILED_PRECONDITION (observed killing a 30-min harness run at a
+        # step-0 eval); negative returncodes mean the run was killed
+        # externally (e.g. a hang-kill). Retry both once.
+        transient = (
+            "TPU backend error" in proc.stderr
+            or "FAILED_PRECONDITION" in proc.stderr
+            or proc.returncode < 0
         )
         if attempt == 1 and transient:
-            emit(f"   (transient TPU backend error — retrying run once)")
+            emit("   (transient TPU backend failure — retrying run once)")
             continue
         raise RuntimeError(
             f"{main_path} failed ({proc.returncode}):\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
